@@ -1,0 +1,24 @@
+"""Test configuration: force CPU with 8 virtual devices (the TPU-equivalent of
+a fake multi-chip backend).
+
+Note: this image's sitecustomize imports jax at interpreter startup (axon TPU
+plugin), so env vars alone are too late — we must go through jax.config.
+XLA_FLAGS is still read lazily when the CPU client is first created.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def pytest_sessionstart(session):
+    devs = jax.devices()
+    assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
+    assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"
