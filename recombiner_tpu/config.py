@@ -175,6 +175,23 @@ class ModalityConfig:
         return bpp
 
 
+def config_to_dict(cfg: ModalityConfig) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def _tup(x):
+    if isinstance(x, list):
+        return tuple(_tup(i) for i in x)
+    return x
+
+
+def config_from_dict(d: dict) -> ModalityConfig:
+    kw = {k: _tup(v) for k, v in d.items()}
+    cfg = ModalityConfig(**kw)
+    cfg.validate()
+    return cfg
+
+
 def _mk(name: str, **kw) -> ModalityConfig:
     cfg = ModalityConfig(name=name, **kw)
     cfg.validate()

@@ -1,0 +1,54 @@
+"""Device mesh and sharding helpers for data-parallel training/encoding.
+
+The reference is single-device (SURVEY §2.2); here data parallelism is a
+first-class sharding annotation: posterior rows are sharded over a 1-D
+``("data",)`` mesh, shared mappings (A, upsampler) and priors are replicated,
+and GSPMD inserts the ICI all-reduces for shared-parameter gradients and the
+M-step moments automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rows(tree: Any, mesh: Mesh) -> Any:
+    """device_put every array leaf: shard the leading axis over the data mesh
+    when divisible, replicate otherwise (e.g. tiny level-3 posteriors, priors,
+    shared mappings)."""
+    n = mesh.devices.size
+    rs = row_sharding(mesh)
+    rep = replicated(mesh)
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+            return jax.device_put(x, rs)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

@@ -1,0 +1,297 @@
+"""Prior-learning engine: EM / coordinate-ascent over variational posteriors.
+
+TPU-native rewrite of PriorBNNmodel + the EM driver
+(prior_model.py:62-262, main_prior_training.py:25-345). Design:
+
+- All posteriors live in one pytree (``PriorState``) with the training-set
+  row axis leading, so data parallelism is a sharding annotation, not code.
+- The inner SGD loop (the reference's ``PriorBNNmodel.train``) is a single
+  jitted ``lax.scan`` over epochs: one compile, zero host syncs inside.
+- The beta controller and closed-form prior M-step run between scans; the
+  M-step moments are means/variances over the row axis, which GSPMD reduces
+  over ICI automatically when the state is sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from recombiner_tpu.config import ModalityConfig
+from recombiner_tpu.models.gaussian import (
+    Gaussian,
+    NaturalGaussian,
+    kl_gaussian,
+    scale_transform,
+)
+from recombiner_tpu.models.inr import init_linear_transform, inr_forward
+from recombiner_tpu.models.mappings import lpe_to_pe, sample_hierarchical_latents
+from recombiner_tpu.models.upsample import init_upsample_params
+
+
+@struct.dataclass
+class PriorState:
+    """Trainable state: per-row posteriors + shared mappings."""
+
+    w: Gaussian  # (R, n_inr_params)
+    lpe: Gaussian  # (R, *lpe_spatial, latent_dim)
+    h: Optional[Gaussian]  # (R / prod(level2), n_inr_params)
+    hh: Optional[Gaussian]  # (R / prod(level3), n_inr_params)
+    A: Tuple[jax.Array, ...]  # per-layer linear transforms
+    up: dict  # upsampler conv params
+
+
+@struct.dataclass
+class Priors:
+    """Per-level diagonal Gaussian priors (the M-step output)."""
+
+    w: NaturalGaussian  # (n_inr_params,)
+    lpe: NaturalGaussian  # (*lpe_spatial, latent_dim)
+    h: Optional[NaturalGaussian]
+    hh: Optional[NaturalGaussian]
+
+
+def init_prior_state(key: jax.Array, cfg: ModalityConfig, train_size: int) -> PriorState:
+    """SIREN-style posterior init (prior_model.py:100-110)."""
+    w_std = float(np.sqrt(cfg.c / cfg.hidden_dims[-1]) / cfg.w0)
+    ils = cfg.init_log_scale
+    k = jax.random.split(key, 8)
+    D = cfg.n_inr_params
+
+    def unif(kk, shape):
+        return jax.random.uniform(kk, shape, jnp.float32, -w_std, w_std)
+
+    w = Gaussian(loc=unif(k[0], (train_size, D)), log_scale=jnp.full((train_size, D), ils))
+    lpe_shape = (train_size, *cfg.lpe_spatial, cfg.latent_dim)
+    lpe = Gaussian(
+        loc=0.1 * jax.random.normal(k[1], lpe_shape, jnp.float32),
+        log_scale=jnp.full(lpe_shape, ils),
+    )
+    h = hh = None
+    if cfg.patch:
+        r2, r3 = cfg.rows_level2(train_size), cfg.rows_level3(train_size)
+        h = Gaussian(loc=unif(k[2], (r2, D)), log_scale=jnp.full((r2, D), ils))
+        hh = Gaussian(loc=unif(k[3], (r3, D)), log_scale=jnp.full((r3, D), ils))
+
+    A = tuple(init_linear_transform(k[4], cfg.net_dims))
+    up = init_upsample_params(
+        k[5], cfg.data_dim, cfg.latent_dim, cfg.upsample_hidden, cfg.upsample_out
+    )
+    return PriorState(w=w, lpe=lpe, h=h, hh=hh, A=A, up=up)
+
+
+def init_priors(cfg: ModalityConfig) -> Priors:
+    """Initial prior: loc 0, scale softplus(-2)/6 (main_prior_training.py:85-103)."""
+    s0 = float(jax.nn.softplus(-2.0) / 6.0)
+    D = cfg.n_inr_params
+
+    def ng(shape):
+        return NaturalGaussian(loc=jnp.zeros(shape), scale=jnp.full(shape, s0))
+
+    return Priors(
+        w=ng((D,)),
+        lpe=ng((*cfg.lpe_spatial, cfg.latent_dim)),
+        h=ng((D,)) if cfg.patch else None,
+        hh=ng((D,)) if cfg.patch else None,
+    )
+
+
+def forward(
+    state: PriorState, X: jax.Array, key: jax.Array, cfg: ModalityConfig,
+    sample_size: int = 1,
+) -> jax.Array:
+    """Variational forward pass: sample posteriors, render the INR.
+
+    X: (R, P, fourier_dim). Returns (R, S, P, out_dim).
+    """
+    k_lpe, k_w = jax.random.split(key)
+    S = sample_size
+    lpe_eps = jax.random.normal(k_lpe, (state.lpe.loc.shape[0], S, *state.lpe.loc.shape[1:]))
+    lpe = state.lpe.loc[:, None] + state.lpe.scale[:, None] * lpe_eps
+    pe = lpe_to_pe(state.up, lpe, cfg)  # (R, S, P, pe_dim)
+    x = jnp.concatenate([jnp.broadcast_to(X[:, None], (*pe.shape[:3], X.shape[-1])), pe], -1)
+
+    h_w = sample_hierarchical_latents(
+        k_w,
+        state.w.loc,
+        state.w.scale,
+        None if state.h is None else state.h.loc,
+        None if state.h is None else state.h.scale,
+        None if state.hh is None else state.hh.loc,
+        None if state.hh is None else state.hh.scale,
+        S,
+        cfg,
+    )
+    return inr_forward(x, h_w, state.A, cfg)
+
+
+def total_kl(state: PriorState, priors: Priors) -> jax.Array:
+    """Summed KL over all posterior rows/levels vs priors (prior_model.py:181-200)."""
+    kl = kl_gaussian(state.w.loc, state.w.scale, priors.w.loc, priors.w.scale).sum()
+    kl += kl_gaussian(state.lpe.loc, state.lpe.scale, priors.lpe.loc, priors.lpe.scale).sum()
+    if state.h is not None:
+        kl += kl_gaussian(state.h.loc, state.h.scale, priors.h.loc, priors.h.scale).sum()
+        kl += kl_gaussian(state.hh.loc, state.hh.scale, priors.hh.loc, priors.hh.scale).sum()
+    return kl
+
+
+class EpochMetrics(NamedTuple):
+    mse: jax.Array  # mean MSE per element (last epoch)
+    kl: jax.Array  # total KL (last epoch)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_epochs", "lr", "train_mappings"), donate_argnums=(0,))
+def sgd_epochs(
+    state: PriorState,
+    X: jax.Array,
+    Y: jax.Array,
+    priors: Priors,
+    kl_beta: jax.Array,
+    key: jax.Array,
+    *,
+    cfg: ModalityConfig,
+    n_epochs: int,
+    lr: float = 2e-4,
+    train_mappings: bool = True,
+) -> Tuple[PriorState, EpochMetrics]:
+    """One EM E-step: ``n_epochs`` full-batch Adam epochs, compiled as a scan.
+
+    The optimizer is created fresh each call, matching the reference's
+    per-EM-iteration Adam re-init (prior_model.py:225).
+    """
+    opt = optax.adam(lr)
+
+    if train_mappings:
+        trainable = lambda s: s
+        rebuild = lambda s, t: t
+    else:
+        trainable = lambda s: dataclasses.replace(s, A=None, up=None)
+        rebuild = lambda s, t: dataclasses.replace(t, A=s.A, up=s.up)
+
+    def loss_fn(tstate: PriorState, full: PriorState, k):
+        s = rebuild(full, tstate)
+        y_hat = forward(s, X, k, cfg, sample_size=1)[:, 0]
+        mse = jnp.mean((y_hat - Y) ** 2)
+        kl = total_kl(s, priors)
+        # reference loss: mean MSE * n_rows + beta * KL (prior_model.py:237-247)
+        loss = mse * Y.shape[0] + kl_beta * kl
+        return loss, (mse, kl)
+
+    opt_state = opt.init(trainable(state))
+
+    def epoch(carry, k):
+        s, o = carry
+        (_, (mse, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable(s), s, k
+        )
+        updates, o = opt.update(grads, o)
+        t = optax.apply_updates(trainable(s), updates)
+        return (rebuild(s, t), o), EpochMetrics(mse, kl)
+
+    keys = jax.random.split(key, n_epochs)
+    (state, _), ms = jax.lax.scan(epoch, (state, opt_state), keys)
+    return state, EpochMetrics(mse=ms.mse[-1], kl=ms.kl[-1])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def m_step(state: PriorState, cfg: ModalityConfig) -> Priors:
+    """Closed-form prior update: moment-match the row-wise posterior mixture
+    (main_prior_training.py:156-172). var uses ddof=1 like torch's default."""
+
+    def match(g: Gaussian) -> NaturalGaussian:
+        loc = jnp.mean(g.loc, axis=0)
+        var = jnp.mean(scale_transform(g.log_scale) ** 2, axis=0) + jnp.var(
+            g.loc, axis=0, ddof=1
+        )
+        return NaturalGaussian(loc=loc, scale=jnp.sqrt(var))
+
+    return Priors(
+        w=match(state.w),
+        lpe=match(state.lpe),
+        h=match(state.h) if state.h is not None else None,
+        hh=match(state.hh) if state.hh is not None else None,
+    )
+
+
+def adjust_kl_beta(
+    kl_beta: float, kl_bits_per_row: float, budget_min: float, budget_max: float
+) -> float:
+    """Multiplicative bitrate controller (main_prior_training.py:134-154)."""
+    if kl_bits_per_row > budget_max:
+        kl_beta *= 1.5
+    if kl_bits_per_row < budget_min:
+        kl_beta /= 1.5
+    return float(np.clip(kl_beta, 1e-20, 1.0))
+
+
+@dataclasses.dataclass
+class EMResult:
+    state: PriorState
+    priors: Priors
+    kl_beta: float
+    elbo_history: list
+
+
+def em_train(
+    key: jax.Array,
+    cfg: ModalityConfig,
+    X: jax.Array,
+    Y: jax.Array,
+    max_bitrate: float,
+    n_em_iters: int = 550,
+    first_epochs: int = 200,
+    later_epochs: int = 100,
+    lr: float = 2e-4,
+    checkpoint_every: int = 10,
+    checkpoint_fn: Optional[Callable] = None,
+    log_fn: Optional[Callable] = None,
+    state: Optional[PriorState] = None,
+    priors: Optional[Priors] = None,
+    kl_beta: float = 1e-8,
+) -> EMResult:
+    """The full EM / coordinate-ascent driver (main_prior_training.py:105-341).
+
+    checkpoint_fn(em_iter, state, priors, kl_beta) is invoked every
+    ``checkpoint_every`` iterations and at the last one.
+    """
+    train_size = X.shape[0]
+    budget_min, budget_max = cfg.bits_budget(max_bitrate)
+    if state is None:
+        key, sub = jax.random.split(key)
+        state = init_prior_state(sub, cfg, train_size)
+    if priors is None:
+        priors = init_priors(cfg)
+
+    history = []
+    n_epochs = first_epochs
+    for em_iter in range(n_em_iters):
+        key, sub = jax.random.split(key)
+        state, metrics = sgd_epochs(
+            state, X, Y, priors, jnp.float32(kl_beta), sub,
+            cfg=cfg, n_epochs=n_epochs, lr=lr,
+        )
+        n_epochs = later_epochs
+
+        kl_bits_per_row = float(metrics.kl) / np.log(2.0) / train_size
+        kl_beta = adjust_kl_beta(kl_beta, kl_bits_per_row, budget_min, budget_max)
+        priors = m_step(state, cfg)
+        history.append(
+            {"em_iter": em_iter, "mse": float(metrics.mse), "kl_bits": kl_bits_per_row,
+             "kl_beta": kl_beta}
+        )
+
+        last = em_iter == n_em_iters - 1
+        if em_iter % checkpoint_every == 0 or last:
+            if log_fn is not None:
+                log_fn(em_iter, history[-1], state, priors)
+            if checkpoint_fn is not None:
+                checkpoint_fn(em_iter, state, priors, kl_beta)
+
+    return EMResult(state=state, priors=priors, kl_beta=kl_beta, elbo_history=history)
