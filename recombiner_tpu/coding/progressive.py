@@ -1,0 +1,161 @@
+"""Progressive encode driver: coarse-to-fine A* coding with interleaved
+posterior finetuning.
+
+Orchestrates the jitted kernels in encoder.py following the reference
+schedule (test_model.py:687-856, main_compression.py:148-162): optimize
+posteriors, then per level (hh -> h -> w) repeatedly code every row's
+highest-KL group and refinetune the remaining posteriors. Each python-loop
+iteration is two compiled calls (encode_step + optimize); no per-group host
+work remains.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recombiner_tpu.config import ModalityConfig
+from recombiner_tpu.coding.encoder import (
+    Codec,
+    CodecState,
+    decode,
+    encode_step,
+    group_kl,
+    optimize,
+    predict,
+)
+from recombiner_tpu.metrics import metric
+
+
+@dataclasses.dataclass
+class EncodeResult:
+    state: CodecState
+    indices: Dict[str, np.ndarray]
+    distortion: np.ndarray
+    bitrate: float
+    reconstruction: np.ndarray
+    timings: Dict[str, float]
+
+
+def distortion_of(
+    codec: Codec, state: CodecState, X: jax.Array, Y: jax.Array, cfg: ModalityConfig
+):
+    y_pred = predict(codec, state, X, jax.random.key(0), cfg, sample_size=1)[:, 0]
+    return metric(np.asarray(Y), np.asarray(y_pred), cfg.name)
+
+
+def kl_bits_summary(codec: Codec, state: CodecState) -> Dict[str, float]:
+    out = {}
+    for name in codec.level_names:
+        ls = state.level(name)
+        bits = np.asarray(group_kl(ls, codec.meta(name))) / np.log(2.0)
+        mask = ~np.asarray(ls.compressed)
+        if mask.any():
+            out[f"{name}_max_bits"] = float(bits[mask].max())
+            out[f"{name}_ave_bits"] = float(bits[mask].mean())
+    return out
+
+
+def finetune_epochs(cfg: ModalityConfig, n_groups: int, level: str) -> int:
+    """Reference finetune budgets (main_compression.py:156-158)."""
+    if level == "w":
+        return max(30000 // n_groups, 50)
+    return max(15000 // n_groups, 20)
+
+
+def compress(
+    codec: Codec,
+    state: CodecState,
+    X: jax.Array,
+    Y: jax.Array,
+    cfg: ModalityConfig,
+    key: jax.Array,
+    *,
+    n_optimize_epochs: int = 30000,
+    lr: float = 2e-4,
+    sample_size: int = 5,
+    finetune_overrides: Optional[Dict[str, int]] = None,
+    verbose: bool = False,
+    log_fn: Optional[Callable] = None,
+) -> EncodeResult:
+    """Full encode: posterior optimization + progressive coding of all levels."""
+    timings = {}
+    t0 = time.perf_counter()
+
+    if verbose:
+        d0 = distortion_of(codec, state, X, Y, cfg)
+        print(f"Initialization: average distortion {np.mean(d0):.4f}", flush=True)
+
+    key, sub = jax.random.split(key)
+    if n_optimize_epochs > 0:
+        state = optimize(
+            codec, state, X, Y, sub,
+            cfg=cfg, n_epochs=n_optimize_epochs, lr=lr, sample_size=sample_size,
+        )
+        jax.block_until_ready(state.w.q.loc)
+    timings["optimize_s"] = time.perf_counter() - t0
+
+    if verbose:
+        d1 = distortion_of(codec, state, X, Y, cfg)
+        print(
+            f"Optimization finished: average distortion {np.mean(d1):.4f} "
+            f"{kl_bits_summary(codec, state)}",
+            flush=True,
+        )
+
+    t1 = time.perf_counter()
+    # coarse-to-fine: hh -> h -> w (test_model.py:701-848)
+    order = ("hh", "h", "w") if cfg.patch else ("w",)
+    for level in order:
+        meta = codec.meta(level)
+        n_ft = (finetune_overrides or {}).get(level, finetune_epochs(cfg, meta.n_groups, level))
+        report_at = set(np.linspace(0, meta.n_groups - 1, 10).astype(int).tolist())
+        for step_i in range(meta.n_groups):
+            state = encode_step(codec, state, level)
+            if n_ft > 0:
+                key, sub = jax.random.split(key)
+                # betas stay fixed during finetune: frozen groups have beta=0,
+                # annealing mid-finetune would fight the freeze (the reference
+                # also continues annealing, but only every kl_adjust_gap).
+                state = optimize(
+                    codec, state, X, Y, sub,
+                    cfg=cfg, n_epochs=n_ft, lr=lr, sample_size=sample_size,
+                )
+            if verbose and step_i in report_at:
+                d = distortion_of(codec, state, X, Y, cfg)
+                print(
+                    f"[{level}] {step_i + 1}/{meta.n_groups} groups coded; "
+                    f"distortion {np.mean(d):.4f}",
+                    flush=True,
+                )
+            if log_fn is not None:
+                log_fn(level, step_i, state)
+    jax.block_until_ready(state.w.indices)
+    timings["code_s"] = time.perf_counter() - t1
+
+    indices = {
+        name: np.asarray(state.level(name).indices) for name in codec.level_names
+    }
+    # final reconstruction through the REAL decoder path (indices only), so the
+    # reported distortion is exactly what a receiver would measure
+    y_pred = decode(codec, indices, X, cfg)
+    dist = metric(np.asarray(Y), np.asarray(y_pred), cfg.name)
+    n_groups = {name: codec.meta(name).n_groups for name in codec.level_names}
+    bitrate = cfg.bitrate_of_groups(
+        n_groups["w"], n_groups.get("h", 0), n_groups.get("hh", 0)
+    )
+    if verbose:
+        print(f"Encode finished: distortion {np.mean(dist):.4f} @ {bitrate:.4f}", flush=True)
+    return EncodeResult(
+        state=state,
+        indices=indices,
+        distortion=np.asarray(dist),
+        bitrate=bitrate,
+        reconstruction=np.asarray(y_pred),
+        timings=timings,
+    )

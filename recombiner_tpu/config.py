@@ -300,6 +300,7 @@ TINY = _mk(
     upsample_factors=(16, 16),
     bitrate_range=0.3,
     lowest_bitrate=0.1,
+    bits_per_group=8,
 )
 
 # Tiny patched config exercising the full 3-level hierarchy on CPU.
@@ -318,6 +319,7 @@ TINY_PATCH = _mk(
     upsample_factors=(16, 16),
     bitrate_range=0.3,
     lowest_bitrate=0.1,
+    bits_per_group=8,
 )
 
 CONFIGS = {

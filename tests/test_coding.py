@@ -1,0 +1,229 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recombiner_tpu.coding.codebook import make_codebook
+from recombiner_tpu.coding.encoder import (
+    decode,
+    decode_level_values,
+    encode_step,
+    group_kl,
+    init_codec,
+    level_kl,
+    optimize,
+    predict,
+    update_betas,
+)
+from recombiner_tpu.coding.gumbel import gumbel_chain
+from recombiner_tpu.config import TINY, TINY_PATCH
+from recombiner_tpu.data.synthetic import synthetic_dataset
+from recombiner_tpu.models.gaussian import scale_transform
+from recombiner_tpu.priors.artifact import build_prior_artifact
+from recombiner_tpu.priors.trainer import em_train
+
+
+def test_gumbel_chain_recurrence_and_monotonicity():
+    g = gumbel_chain(1000, seed=42)
+    assert np.all(np.diff(g) < 0)  # strictly decreasing
+    # matches the reference's sequential recurrence (test_model.py:448-455)
+    rng = np.random.RandomState(42)
+    log_u = np.log(rng.rand(1000))
+    bound = -np.log(-log_u[0])
+    seq = [bound]
+    for i in range(1, 1000):
+        bound = -np.log(-log_u[i] + np.exp(-bound))
+        seq.append(bound)
+    np.testing.assert_allclose(g, np.array(seq), rtol=1e-10)
+
+
+def test_gumbel_chain_deterministic():
+    np.testing.assert_array_equal(gumbel_chain(100, 7), gumbel_chain(100, 7))
+    assert not np.allclose(gumbel_chain(100, 7), gumbel_chain(100, 8))
+
+
+def test_codebook_determinism_and_level_separation():
+    a = np.asarray(make_codebook(42, "w", 64, 16))
+    b = np.asarray(make_codebook(42, "w", 64, 16))
+    c = np.asarray(make_codebook(42, "h", 64, 16))
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+    assert abs(a.mean()) < 0.1 and abs(a.std() - 1.0) < 0.1
+
+
+def test_codebook_sobol_backend():
+    s = np.asarray(make_codebook(42, "w", 64, 8, kind="sobol"))
+    assert s.shape == (64, 8)
+    assert np.abs(s).max() <= 100.0
+    s2 = np.asarray(make_codebook(42, "w", 64, 8, kind="sobol"))
+    np.testing.assert_array_equal(s, s2)
+
+
+@pytest.fixture(scope="module")
+def tiny_artifact():
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=4)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y), max_bitrate=6.0,
+        n_em_iters=2, first_epochs=30, later_epochs=15, lr=2e-3,
+    )
+    art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg)
+    return cfg, art, X, Y
+
+
+def test_init_codec_state(tiny_artifact):
+    cfg, art, X, Y = tiny_artifact
+    codec, state = init_codec(art, n_rows=2)
+    assert codec.h is None
+    D = cfg.n_coded_params
+    assert codec.w.D == D
+    assert state.w.q.loc.shape == (2, codec.w.Dpad)
+    # q initialized from prior in coded order
+    p2g = art.w.grouping.param2group
+    np.testing.assert_allclose(
+        np.asarray(state.w.q.loc[0, :D]), art.w.p_loc[p2g], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.w.q.log_scale[0, :D]), art.w.avg_log_scale[p2g], rtol=1e-6
+    )
+    assert not bool(np.asarray(state.w.compressed).any())
+
+
+def test_encode_step_freezes_one_group_per_row(tiny_artifact):
+    cfg, art, X, Y = tiny_artifact
+    codec, state = init_codec(art, n_rows=2)
+    s1 = encode_step(codec, state, "w")
+    comp = np.asarray(s1.w.compressed)
+    assert comp.sum(axis=1).tolist() == [1, 1]
+    # the chosen group was each row's max-KL group
+    kls = np.asarray(group_kl(state.w, codec.w))
+    chosen = comp.argmax(axis=1)
+    np.testing.assert_array_equal(chosen, kls.argmax(axis=1))
+    # betas zeroed for coded groups
+    beta = np.asarray(s1.w.kl_beta)
+    assert (beta[np.arange(2), chosen] == 0).all()
+    # frozen values match the codebook formula z = p_loc + p_scale * eps[idx]
+    meta = codec.w
+    for r in range(2):
+        g = chosen[r]
+        st_, en = int(meta.group_start[g]), int(meta.group_start[g] + meta.group_size[g])
+        idx = int(np.asarray(s1.w.indices)[r, g])
+        z = np.asarray(meta.p_loc)[st_:en] + np.asarray(meta.p_scale)[st_:en] * np.asarray(
+            meta.eps
+        )[idx, : en - st_]
+        np.testing.assert_allclose(np.asarray(s1.w.frozen_val)[r, st_:en], z, rtol=1e-6)
+        assert (np.asarray(s1.w.frozen_mask)[r, st_:en] == 1).all()
+        # pad region beyond the group untouched
+        assert (np.asarray(s1.w.frozen_mask)[r, en : en + 3] == 0).all()
+
+
+def test_encode_step_score_matches_bruteforce_oracle(tiny_artifact):
+    """The matmul-basis scoring must select the same sample as the direct
+    log q - log p + gumbel computation (test_model.py:501-533)."""
+    cfg, art, X, Y = tiny_artifact
+    codec, state = init_codec(art, n_rows=2)
+    # perturb q so scores are non-degenerate
+    key = jax.random.key(11)
+    state = state.replace_level(
+        "w",
+        state.w.replace(
+            q=state.w.q.replace(
+                loc=state.w.q.loc + 0.05 * jax.random.normal(key, state.w.q.loc.shape)
+            )
+        ),
+    )
+    s1 = encode_step(codec, state, "w")
+    meta = codec.w
+    kls = np.asarray(group_kl(state.w, meta))
+    for r in range(2):
+        g = int(kls[r].argmax())
+        st_ = int(meta.group_start[g])
+        size = int(meta.group_size[g])
+        eps = np.asarray(meta.eps, np.float64)[:, :size]
+        p_loc = np.asarray(meta.p_loc, np.float64)[st_ : st_ + size]
+        p_scale = np.asarray(meta.p_scale, np.float64)[st_ : st_ + size]
+        q_loc = np.asarray(state.w.q.loc, np.float64)[r, st_ : st_ + size]
+        q_scale = np.asarray(scale_transform(state.w.q.log_scale), np.float64)[
+            r, st_ : st_ + size
+        ]
+        z = p_loc + p_scale * eps
+        logp = (-0.5 * ((z - p_loc) / p_scale) ** 2 - np.log(p_scale)).sum(-1)
+        logq = (-0.5 * ((z - q_loc) / q_scale) ** 2 - np.log(q_scale)).sum(-1)
+        scores = logq - logp + np.asarray(meta.gumbel, np.float64)
+        idx_chosen = int(np.asarray(s1.w.indices)[r, g])
+        # allow f32-vs-f64 near-ties: chosen score within tiny margin of best
+        assert scores[idx_chosen] >= scores.max() - 1e-3
+
+
+def test_decode_level_values_roundtrip(tiny_artifact):
+    cfg, art, X, Y = tiny_artifact
+    codec, state = init_codec(art, n_rows=2)
+    # code ALL groups
+    for _ in range(codec.w.n_groups):
+        state = encode_step(codec, state, "w")
+    assert bool(np.asarray(state.w.compressed).all())
+    vals = np.asarray(decode_level_values(codec.w, state.w.indices))
+    frozen = np.asarray(state.w.frozen_val)[:, : codec.w.D]
+    # agree to float32 rounding (XLA may fuse mul+add differently in the two
+    # programs); bit-exactness is guaranteed decode-vs-decode, not enc-vs-dec
+    np.testing.assert_allclose(vals, frozen, rtol=1e-6, atol=1e-7)
+    vals2 = np.asarray(decode_level_values(codec.w, state.w.indices))
+    np.testing.assert_array_equal(vals, vals2)  # decode is deterministic
+
+
+def test_full_roundtrip_encoder_decoder_bitexact(tiny_artifact):
+    """Decoder reconstructs from indices ALONE and must match the encoder's
+    own frozen prediction bit-for-bit."""
+    cfg, art, X, Y = tiny_artifact
+    codec, state = init_codec(art, n_rows=2)
+    Xj = jnp.array(X)
+    state = optimize(
+        codec, state, Xj, jnp.array(Y), jax.random.key(1),
+        cfg=cfg, n_epochs=30, lr=2e-3, sample_size=2,
+    )
+    for _ in range(codec.w.n_groups):
+        state = encode_step(codec, state, "w")
+
+    enc_pred = np.asarray(predict(codec, state, Xj, jax.random.key(0), cfg, 1)[:, 0])
+    indices = {"w": np.asarray(state.w.indices)}
+    dec_pred = np.asarray(decode(codec, indices, Xj, cfg))
+    # encoder's internal view agrees with the decoder to f32 tolerance...
+    np.testing.assert_allclose(enc_pred, dec_pred, atol=1e-4)
+    # ...and the decoder itself is bit-deterministic from indices alone
+    dec_pred2 = np.asarray(decode(codec, indices, Xj, cfg))
+    np.testing.assert_array_equal(dec_pred, dec_pred2)
+
+
+def test_optimize_reduces_distortion(tiny_artifact):
+    cfg, art, X, Y = tiny_artifact
+    codec, state = init_codec(art, n_rows=2)
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+
+    def mse(s):
+        p = predict(codec, s, Xj, jax.random.key(0), cfg, 1)[:, 0]
+        return float(jnp.mean((p - Yj) ** 2))
+
+    m0 = mse(state)
+    state = optimize(codec, state, Xj, Yj, jax.random.key(2), cfg=cfg,
+                     n_epochs=50, lr=2e-3, sample_size=2)
+    assert mse(state) < m0
+
+
+def test_update_betas_direction():
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=5)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y), max_bitrate=6.0,
+        n_em_iters=1, first_epochs=10, later_epochs=5, lr=2e-3,
+    )
+    art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg)
+    codec, state = init_codec(art, n_rows=2, initial_beta=1.0)
+    kls_bits = np.asarray(group_kl(state.w, codec.w)) / np.log(2)
+    s1 = update_betas(state.w, codec.w, cfg.bits_per_group)
+    beta = np.asarray(s1.kl_beta)
+    over = kls_bits > cfg.bits_per_group
+    under = kls_bits <= cfg.bits_per_group - 0.4
+    np.testing.assert_allclose(beta[over], 1.05, rtol=1e-6)
+    np.testing.assert_allclose(beta[under], 1 / 1.05, rtol=1e-6)
+    mid = ~over & ~under
+    np.testing.assert_allclose(beta[mid], 1.0, rtol=1e-6)

@@ -1,0 +1,68 @@
+"""End-to-end RD smoke tests on tiny synthetic datasets: prior training ->
+artifact -> encode -> decode-from-indices-only -> distortion sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recombiner_tpu.coding.encoder import decode, init_codec
+from recombiner_tpu.coding.progressive import compress
+from recombiner_tpu.config import TINY, TINY_PATCH
+from recombiner_tpu.data.synthetic import synthetic_dataset
+from recombiner_tpu.io.checkpoint import load_prior_artifact, save_prior_artifact
+from recombiner_tpu.metrics import batch_psnr
+from recombiner_tpu.priors.artifact import build_prior_artifact
+from recombiner_tpu.priors.trainer import em_train
+
+
+@pytest.mark.parametrize("cfg", [TINY, TINY_PATCH], ids=["nonpatch", "patch"])
+def test_e2e_pipeline(cfg, tmp_path):
+    n_train, n_test = 3, 2
+    X, Y = synthetic_dataset(cfg, n_train, seed=10)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y), max_bitrate=4.0,
+        n_em_iters=3, first_epochs=40, later_epochs=20, lr=2e-3,
+    )
+    art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg)
+
+    # persist + reload through the artifact format, as the CLI flow would
+    path = str(tmp_path / "prior.npz")
+    save_prior_artifact(path, art)
+    art = load_prior_artifact(path)
+
+    Xt, Yt = synthetic_dataset(cfg, n_test, seed=99)
+    rows = Xt.shape[0]
+    codec, state = init_codec(art, n_rows=rows)
+
+    result = compress(
+        codec, state, jnp.array(Xt), jnp.array(Yt), cfg, jax.random.key(1),
+        n_optimize_epochs=60, lr=2e-3, sample_size=2,
+        finetune_overrides={"w": 3, "h": 2, "hh": 2},
+    )
+
+    # every group of every level coded
+    for name in codec.level_names:
+        assert bool(np.asarray(result.state.level(name).compressed).all())
+
+    # indices fit in the bit budget
+    for name, idx in result.indices.items():
+        assert idx.min() >= 0 and idx.max() < 2**cfg.bits_per_group
+
+    # decode from indices ONLY reproduces the reported reconstruction
+    dec = np.asarray(decode(codec, result.indices, jnp.array(Xt), cfg))
+    np.testing.assert_array_equal(dec, result.reconstruction)
+
+    # reconstruction is meaningfully better than predicting the mean signal
+    mean_psnr = batch_psnr(Yt, np.full_like(Yt, Yt.mean()), round8=False).mean()
+    got_psnr = batch_psnr(Yt, result.reconstruction, round8=False).mean()
+    assert got_psnr > mean_psnr - 1.0, (got_psnr, mean_psnr)
+
+    # bitrate formula consistent with coded group counts
+    expect_bitrate = cfg.bitrate_of_groups(
+        codec.w.n_groups,
+        codec.h.n_groups if cfg.patch else 0,
+        codec.hh.n_groups if cfg.patch else 0,
+    )
+    assert result.bitrate == pytest.approx(expect_bitrate)
+    assert result.timings["optimize_s"] > 0
