@@ -1,0 +1,116 @@
+"""Compression CLI, flag-compatible with the reference's
+main_compression.py:12-23, plus a real binary bitstream output.
+
+    python -m recombiner_tpu.cli.compress --test_dir DIR --test_idx 0 \
+        --dataset cifar --prior_path out/PRIOR_....npz --save_dir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recombiner_tpu.coding.encoder import init_codec
+from recombiner_tpu.coding.progressive import compress
+from recombiner_tpu.data.load_data import load_test_set
+from recombiner_tpu.io.bitstream import write_bitstream
+from recombiner_tpu.io.checkpoint import load_prior_artifact
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Compress test datapoints with a trained prior")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--test_dir", required=True)
+    p.add_argument("--test_idx", type=int, required=True)
+    p.add_argument("--dataset", default=None, help="must match the prior artifact if given")
+    p.add_argument("--device", default=None, help="accepted for reference-CLI parity; ignored")
+    p.add_argument("--prior_path", required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--save_bitstream", default=True)
+    p.add_argument("--n_epochs", type=int, default=30000, help="posterior optimization epochs")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--sample_size", type=int, default=5)
+    p.add_argument("--finetune_epochs", type=int, default=None, help="override per-group finetune epochs (default: reference schedule)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    art = load_prior_artifact(args.prior_path)
+    cfg = art.config
+    if args.dataset is not None and args.dataset != cfg.name:
+        raise SystemExit(
+            f"--dataset {args.dataset} does not match the prior artifact ({cfg.name})"
+        )
+
+    X, Y = load_test_set(args.test_dir, args.test_idx, cfg)
+    n_rows = X.shape[0]
+    codec, state = init_codec(art, n_rows)
+    print(
+        f"Model initialized. Expected bitrate "
+        f"{cfg.bitrate_of_groups(codec.w.n_groups, 0 if codec.h is None else codec.h.n_groups, 0 if codec.hh is None else codec.hh.n_groups):.3f}",
+        flush=True,
+    )
+
+    result = compress(
+        codec,
+        state,
+        jnp.asarray(X),
+        jnp.asarray(Y),
+        cfg,
+        jax.random.key(args.seed),
+        n_optimize_epochs=args.n_epochs,
+        lr=args.lr,
+        sample_size=args.sample_size,
+        finetune_overrides=(
+            None
+            if args.finetune_epochs is None
+            else {k: args.finetune_epochs for k in ("w", "h", "hh")}
+        ),
+        verbose=True,
+    )
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    dist = result.distortion
+    if dist.ndim == 0:
+        dist = dist.reshape(1, 1)
+    np.savetxt(
+        os.path.join(args.save_dir, f"Distortion_test_id_{args.test_idx}.csv"),
+        np.atleast_2d(dist),
+        delimiter=",",
+    )
+    if int(bool(args.save_bitstream)):
+        # CSV group indices for reference-output parity
+        prefix = {"w": "", "h": "H_", "hh": "HH_"}
+        for name, idx in result.indices.items():
+            np.savetxt(
+                os.path.join(
+                    args.save_dir, f"{prefix[name]}GroupIndex_test_id_{args.test_idx}.csv"
+                ),
+                idx,
+                delimiter=",",
+            )
+        # the actual binary bitstream
+        n = write_bitstream(
+            os.path.join(args.save_dir, f"bitstream_test_id_{args.test_idx}.rctb"),
+            result.indices,
+            config_name=cfg.name,
+            codebook_seed=art.codebook_seed,
+            bits_per_group=cfg.bits_per_group,
+            extra={"test_idx": args.test_idx},
+        )
+        print(f"Bitstream: {n} bytes", flush=True)
+    print(
+        f"Distortion {np.mean(result.distortion):.4f} @ {result.bitrate:.4f} "
+        f"(optimize {result.timings['optimize_s']:.1f}s, code {result.timings['code_s']:.1f}s)",
+        flush=True,
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Prior-training CLI, flag-compatible with the reference's
+main_prior_training.py:11-21.
+
+    python -m recombiner_tpu.cli.train --train_dir DIR --dataset cifar \
+        --max_bitrate 2.0 --train_size 2000 --saving_dir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recombiner_tpu.config import get_config
+from recombiner_tpu.data.load_data import load_training_set
+from recombiner_tpu.io.checkpoint import save_prior_artifact
+from recombiner_tpu.metrics import batch_psnr
+from recombiner_tpu.parallel.mesh import make_mesh, shard_rows
+from recombiner_tpu.priors.artifact import build_prior_artifact
+from recombiner_tpu.priors.trainer import em_train, forward
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a RECOMBINER-TPU prior")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--train_dir", required=True)
+    p.add_argument(
+        "--train_size",
+        type=int,
+        default=10_000_000_000,
+        help="number of training rows (patches in patch mode); capped at the dataset size",
+    )
+    p.add_argument("--dataset", required=True, help="cifar|kodak|video|audio|protein (or a test config name)")
+    p.add_argument("--device", default=None, help="accepted for reference-CLI parity; ignored (JAX selects devices)")
+    p.add_argument("--max_bitrate", type=float, required=True)
+    p.add_argument("--saving_dir", default="./")
+    p.add_argument("--n_em_iters", type=int, default=550)
+    p.add_argument("--first_epochs", type=int, default=200)
+    p.add_argument("--later_epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = get_config(args.dataset)
+
+    n_datapoints = (
+        args.train_size // cfg.patches_per_datapoint if cfg.patch else args.train_size
+    )
+    X, Y = load_training_set(args.train_dir, cfg, args.seed, n_datapoints)
+    train_size = X.shape[0]
+    print(f"Prior is trained on {train_size} patches/datapoints.", flush=True)
+
+    mesh = make_mesh(args.n_devices)
+    Xj = shard_rows(jnp.asarray(X), mesh)
+    Yj = shard_rows(jnp.asarray(Y), mesh)
+
+    os.makedirs(args.saving_dir, exist_ok=True)
+    ckpt_path = os.path.join(
+        args.saving_dir,
+        f"PRIOR_train_size_{train_size}_max_bitrate={args.max_bitrate:.3f}.npz",
+    )
+
+    t0 = time.perf_counter()
+
+    def checkpoint_fn(em_iter, state, priors, kl_beta):
+        art = build_prior_artifact(state, priors, kl_beta, cfg, codebook_seed=args.seed)
+        save_prior_artifact(ckpt_path, art)
+
+    def log_fn(em_iter, rec, state, priors):
+        y_hat = np.asarray(forward(state, Xj, jax.random.key(em_iter), cfg)[:, 0])
+        if cfg.name == "protein":
+            mses = ((y_hat - Y) ** 2).reshape(train_size, -1).mean(1) * 3
+            print(
+                f"[{em_iter}] Training RMSD {np.mean(mses ** 0.5) * 25:.4f}; "
+                f"KL {rec['kl_bits']:.2f} bits; beta {rec['kl_beta']:.3g}; "
+                f"{time.perf_counter() - t0:.0f}s",
+                flush=True,
+            )
+        else:
+            psnr = batch_psnr(Y, y_hat, round8=False).mean()
+            print(
+                f"[{em_iter}] Training PSNR {psnr:.4f}; KL {rec['kl_bits']:.2f} bits; "
+                f"beta {rec['kl_beta']:.3g}; {time.perf_counter() - t0:.0f}s",
+                flush=True,
+            )
+
+    res = em_train(
+        jax.random.key(args.seed),
+        cfg,
+        Xj,
+        Yj,
+        max_bitrate=args.max_bitrate,
+        n_em_iters=args.n_em_iters,
+        first_epochs=args.first_epochs,
+        later_epochs=args.later_epochs,
+        lr=args.lr,
+        checkpoint_fn=checkpoint_fn,
+        log_fn=log_fn,
+    )
+    print(f"Saved prior artifact to {ckpt_path}", flush=True)
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Audio loading and preprocessing (LibriSpeech, 3 s @ 16 kHz -> [0,1]).
+
+Equivalent of data/audio.py:16-158. The offline preprocessor (which needs
+torchaudio to download/decode LibriSpeech) is import-gated; loading works
+from either our .npz dataset dumps or the reference's pickled tensor lists.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from recombiner_tpu.config import ModalityConfig
+from recombiner_tpu.data.pipeline import points_from_data, to_numpy_channel_last
+
+SAMPLE_RATE = 16000
+NUM_SECS = 3
+CLIP_SAMPLES = SAMPLE_RATE * NUM_SECS  # 48000
+
+
+def process_audio_datasets(save_dir: str, root: str = "./", download_test: bool = False) -> None:
+    """Offline preprocessor: select clips, normalize to [0,1], dump datasets
+    (data/audio.py:79-109). Requires torchaudio."""
+    import torchaudio
+
+    def clips_of(url: str, limit: int | None):
+        ds = torchaudio.datasets.LIBRISPEECH(root=root, url=url, download=True)
+        n = len(ds)
+        if limit is not None:
+            rng = np.random.RandomState(0)
+            idx = rng.choice(n, min(limit, n), False)
+        else:
+            idx = np.arange(n)
+        out = []
+        for i in idx:
+            wav = ds[int(i)][0].float().numpy()  # (1, L) in [-1, 1]
+            wav = (wav + 1.0) / 2.0
+            wav = wav[:, :CLIP_SAMPLES]
+            if wav.shape[-1] == CLIP_SAMPLES:
+                out.append(wav[0].astype(np.float32))  # (48000,)
+        return out
+
+    test = clips_of("test-clean", None)
+    train = clips_of("train-clean-100", 12000 // 60)
+    np.savez(save_dir + "/test_dataset.npz", *test)
+    np.savez(save_dir + "/train_dataset.npz", *train)
+
+
+def load_clip_list(path: str) -> List[np.ndarray]:
+    """Load clips from .npz (ours) or .pkl (reference format: list of torch
+    (1, 48000) tensors)."""
+    if path.endswith(".npz"):
+        z = np.load(path)
+        return [z[k] for k in z.files]
+    with open(path, "rb") as f:
+        tensors = pickle.load(f)
+    return [to_numpy_channel_last(t).reshape(-1) for t in tensors]
+
+
+def load_audio(clips: Sequence[np.ndarray], cfg: ModalityConfig) -> Tuple[np.ndarray, np.ndarray]:
+    data = [np.asarray(c, np.float32).reshape(CLIP_SAMPLES, 1) for c in clips]
+    return points_from_data(data, cfg)

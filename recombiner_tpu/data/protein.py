@@ -1,0 +1,76 @@
+"""Protein backbone loading and preprocessing (PDB C-alpha chains).
+
+Equivalent of data/protein.py:9-91, pure python/numpy: parse ATOM/CA lines,
+keep chains >= 96 residues, truncate to 96, center, scale coords by 1/25.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from recombiner_tpu.config import ModalityConfig
+from recombiner_tpu.data.pipeline import points_from_data
+
+MAX_LENGTH = 96
+SCALE = 25.0
+
+
+def parse_pdb_ca(path: str) -> Optional[np.ndarray]:
+    """Extract the first MAX_LENGTH C-alpha coordinates; None if the chain is
+    shorter (data/protein.py:12-37)."""
+    coords = []
+    count = 0
+    try:
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] == "ATOM" and len(parts) > 8 and parts[2] == "CA":
+                    count += 1
+                    if len(coords) < MAX_LENGTH:
+                        coords.append([float(v) for v in parts[6:9]])
+    except (ValueError, IndexError):
+        pass
+    if count < MAX_LENGTH:
+        return None
+    return np.asarray(coords[:MAX_LENGTH], np.float32)
+
+
+def normalize_backbone(xyz: np.ndarray) -> np.ndarray:
+    """Center and scale by 1/25; RMSD must scale back (data/protein.py:38-40)."""
+    return (xyz - xyz.mean(0)) / SCALE
+
+
+def process_protein_datasets(train_pdb_paths, test_pdb_paths, save_dir: str) -> None:
+    def process(paths):
+        out = []
+        for p in paths:
+            xyz = parse_pdb_ca(p)
+            if xyz is not None:
+                out.append(normalize_backbone(xyz))  # (96, 3) channel-last
+        return out
+
+    np.savez(save_dir + "/test_dataset.npz", *process(test_pdb_paths))
+    np.savez(save_dir + "/train_dataset.npz", *process(train_pdb_paths))
+
+
+def load_chain_list(path: str) -> List[np.ndarray]:
+    if path.endswith(".npz"):
+        z = np.load(path)
+        return [z[k] for k in z.files]
+    with open(path, "rb") as f:
+        tensors = pickle.load(f)
+    out = []
+    for t in tensors:  # reference stores (3, 96) torch tensors
+        arr = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+        if arr.shape[0] == 3 and arr.shape[1] != 3:
+            arr = arr.T
+        out.append(arr.astype(np.float32))
+    return out
+
+
+def load_protein(chains: Sequence[np.ndarray], cfg: ModalityConfig) -> Tuple[np.ndarray, np.ndarray]:
+    # chains: (96, 3) channel-last
+    return points_from_data([np.asarray(c, np.float32) for c in chains], cfg)

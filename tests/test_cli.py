@@ -1,0 +1,77 @@
+"""CLI end-to-end: train -> compress -> decompress on a tiny image dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from recombiner_tpu.config import TINY
+
+
+@pytest.fixture(scope="module")
+def image_dirs(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("data")
+    train = root / "train"
+    test = root / "test"
+    train.mkdir()
+    test.mkdir()
+    for d, n in ((train, 3), (test, 2)):
+        for i in range(n):
+            arr = (rng.uniform(size=(16, 16, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(d / f"img_{i}.png"))
+    return str(train), str(test), str(root / "out")
+
+
+def test_cli_train_compress_decompress(image_dirs):
+    from recombiner_tpu.cli import compress, decompress, train
+
+    train_dir, test_dir, out_dir = image_dirs
+    os.makedirs(out_dir, exist_ok=True)
+
+    train.main(
+        [
+            "--train_dir", train_dir, "--dataset", "tiny", "--max_bitrate", "6.0",
+            "--saving_dir", out_dir, "--n_em_iters", "2", "--first_epochs", "10",
+            "--later_epochs", "5", "--lr", "2e-3",
+        ]
+    )
+    priors = [f for f in os.listdir(out_dir) if f.startswith("PRIOR_")]
+    assert len(priors) == 1
+    prior_path = os.path.join(out_dir, priors[0])
+
+    result = compress.main(
+        [
+            "--test_dir", test_dir, "--test_idx", "0", "--prior_path", prior_path,
+            "--save_dir", out_dir, "--n_epochs", "20", "--lr", "2e-3",
+            "--sample_size", "2", "--finetune_epochs", "2",
+        ]
+    )
+    assert os.path.exists(os.path.join(out_dir, "Distortion_test_id_0.csv"))
+    assert os.path.exists(os.path.join(out_dir, "GroupIndex_test_id_0.csv"))
+    bs_path = os.path.join(out_dir, "bitstream_test_id_0.rctb")
+    assert os.path.exists(bs_path)
+
+    y = decompress.main(
+        ["--bitstream", bs_path, "--prior_path", prior_path, "--save_dir", out_dir]
+    )
+    # the standalone decoder reproduces the encoder's reported reconstruction
+    np.testing.assert_array_equal(y, result.reconstruction)
+    decoded = [f for f in os.listdir(out_dir) if f.endswith("_decoded.npy")]
+    assert decoded
+
+
+def test_cli_compress_rejects_wrong_dataset(image_dirs):
+    from recombiner_tpu.cli import compress
+
+    train_dir, test_dir, out_dir = image_dirs
+    priors = [f for f in os.listdir(out_dir) if f.startswith("PRIOR_")]
+    prior_path = os.path.join(out_dir, priors[0])
+    with pytest.raises(SystemExit, match="does not match"):
+        compress.main(
+            [
+                "--test_dir", test_dir, "--test_idx", "0", "--dataset", "cifar",
+                "--prior_path", prior_path, "--save_dir", out_dir,
+            ]
+        )

@@ -1,0 +1,129 @@
+import numpy as np
+import pytest
+
+from recombiner_tpu.config import AUDIO, CIFAR, PROTEIN, TINY, VIDEO
+from recombiner_tpu.data.pipeline import points_from_datum, to_numpy_channel_last
+from recombiner_tpu.data.protein import normalize_backbone, parse_pdb_ca
+from recombiner_tpu.io.bitstream import (
+    pack_bitstream,
+    read_bitstream,
+    unpack_bitstream,
+    write_bitstream,
+)
+
+
+def test_bitstream_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    indices = {
+        "w": rng.integers(0, 2**16, size=(4, 10)).astype(np.int64),
+        "h": rng.integers(0, 2**16, size=(2, 3)).astype(np.int64),
+    }
+    path = str(tmp_path / "s.rctb")
+    n = write_bitstream(
+        path, indices, config_name="kodak", codebook_seed=42, bits_per_group=16
+    )
+    assert n > 0
+    header, out = read_bitstream(path)
+    assert header["config"] == "kodak"
+    assert header["codebook_seed"] == 42
+    np.testing.assert_array_equal(out["w"], indices["w"])
+    np.testing.assert_array_equal(out["h"], indices["h"])
+
+
+def test_bitstream_crc_detects_corruption():
+    blob = bytearray(
+        pack_bitstream(
+            {"w": np.zeros((2, 2), np.int64)},
+            config_name="cifar", codebook_seed=1, bits_per_group=16,
+        )
+    )
+    blob[-8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        unpack_bitstream(bytes(blob))
+
+
+def test_bitstream_rejects_out_of_range():
+    with pytest.raises(ValueError, match="range"):
+        pack_bitstream(
+            {"w": np.full((1, 1), 2**16)},
+            config_name="cifar", codebook_seed=1, bits_per_group=16,
+        )
+
+
+def test_bitstream_size_is_compact():
+    # 500 rows x 128 groups x 16 bits = 128000 bytes payload
+    idx = np.zeros((500, 128), np.int64)
+    blob = pack_bitstream(idx_dict := {"w": idx}, config_name="cifar",
+                          codebook_seed=1, bits_per_group=16)
+    assert len(blob) < 500 * 128 * 2 + 400  # payload + small header
+
+
+def test_points_from_datum_shapes():
+    img = np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(np.float32)
+    X, Y = points_from_datum(img, CIFAR)
+    assert X.shape == (1, 1024, 16)
+    assert Y.shape == (1, 1024, 3)
+    aud = np.random.default_rng(0).uniform(size=(48000, 1)).astype(np.float32)
+    X, Y = points_from_datum(aud, AUDIO)
+    assert X.shape == (60, 800, 16)
+    assert Y.shape == (60, 800, 1)
+    vid = np.random.default_rng(0).uniform(size=(24, 128, 128, 3)).astype(np.float32)
+    X, Y = points_from_datum(vid, VIDEO)
+    assert X.shape == (64, 384 * 16, 18)
+    prot = np.random.default_rng(0).normal(size=(96, 3)).astype(np.float32)
+    X, Y = points_from_datum(prot, PROTEIN)
+    assert X.shape == (1, 96, 16)
+
+
+def test_to_numpy_channel_last_torch():
+    torch = __import__("torch")
+    t = torch.arange(24).reshape(2, 3, 4).float()  # (C=2, 3, 4)
+    arr = to_numpy_channel_last(t)
+    assert arr.shape == (3, 4, 2)
+    np.testing.assert_array_equal(arr[..., 0], t[0].numpy())
+
+
+def test_parse_pdb_ca(tmp_path):
+    lines = []
+    for i in range(100):
+        x, y, z = 1.0 * i, 2.0 * i, 3.0 * i
+        lines.append(
+            f"ATOM  {i + 1:5d}  CA  ALA A{i + 1:4d}    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C"
+        )
+        lines.append(
+            f"ATOM  {i + 1:5d}  N   ALA A{i + 1:4d}    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           N"
+        )
+    p = tmp_path / "test.pdb"
+    p.write_text("\n".join(lines))
+    xyz = parse_pdb_ca(str(p))
+    assert xyz.shape == (96, 3)
+    np.testing.assert_allclose(xyz[5], [5.0, 10.0, 15.0])
+    norm = normalize_backbone(xyz)
+    np.testing.assert_allclose(norm.mean(0), 0.0, atol=1e-6)
+
+    short = tmp_path / "short.pdb"
+    short.write_text("\n".join(lines[:100]))  # only 50 CA atoms
+    assert parse_pdb_ca(str(short)) is None
+
+
+def test_image_loader_landscape_rotation(tmp_path):
+    from PIL import Image
+
+    from recombiner_tpu.data.image import read_image
+
+    arr = (np.random.default_rng(1).uniform(size=(48, 32, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "portrait.png")
+    Image.fromarray(arr).save(p)
+    img = read_image(p)
+    assert img.shape == (32, 48, 3)  # rotated to landscape
+    assert img.max() <= 1.0
+
+
+def test_synthetic_dataset_patch_consistency():
+    from recombiner_tpu.config import TINY_PATCH
+    from recombiner_tpu.data.synthetic import synthetic_dataset
+
+    X, Y = synthetic_dataset(TINY_PATCH, 3, seed=0)
+    assert X.shape == (12, 256, 16)
+    assert Y.shape == (12, 256, 3)
+    assert 0.0 <= Y.min() and Y.max() <= 1.0
