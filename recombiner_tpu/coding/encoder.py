@@ -471,12 +471,18 @@ def encode_step_level(ls: LevelState, meta: LevelMeta) -> LevelState:
         ls.frozen_mask, start, jnp.ones((R, Gmax)), valid
     )
     rows = jnp.arange(R)
+    # rows whose groups are all coded are a no-op (resume / ragged finishes)
+    active = ~jnp.all(ls.compressed, axis=1)
+
+    def gate(new, old):
+        return jnp.where(active.reshape((R,) + (1,) * (new.ndim - 1)), new, old)
+
     return ls.replace(
-        frozen_val=frozen_val,
-        frozen_mask=frozen_mask,
-        kl_beta=ls.kl_beta.at[rows, g].set(0.0),
-        compressed=ls.compressed.at[rows, g].set(True),
-        indices=ls.indices.at[rows, g].set(idx),
+        frozen_val=gate(frozen_val, ls.frozen_val),
+        frozen_mask=gate(frozen_mask, ls.frozen_mask),
+        kl_beta=gate(ls.kl_beta.at[rows, g].set(0.0), ls.kl_beta),
+        compressed=gate(ls.compressed.at[rows, g].set(True), ls.compressed),
+        indices=gate(ls.indices.at[rows, g].set(idx), ls.indices),
     )
 
 

@@ -82,6 +82,8 @@ def compress(
     finetune_overrides: Optional[Dict[str, int]] = None,
     verbose: bool = False,
     log_fn: Optional[Callable] = None,
+    state_path: Optional[str] = None,
+    save_every: int = 10,
 ) -> EncodeResult:
     """Full encode: posterior optimization + progressive coding of all levels."""
     timings = {}
@@ -91,8 +93,15 @@ def compress(
         d0 = distortion_of(codec, state, X, Y, cfg)
         print(f"Initialization: average distortion {np.mean(d0):.4f}", flush=True)
 
+    # resuming a restored mid-encode state: phase-1 optimization already ran
+    resuming = any(
+        bool(np.asarray(state.level(n).compressed).any()) for n in codec.level_names
+    )
+    if resuming and verbose:
+        print("Resuming encode from restored state; skipping phase-1 optimization", flush=True)
+
     key, sub = jax.random.split(key)
-    if n_optimize_epochs > 0:
+    if n_optimize_epochs > 0 and not resuming:
         state = optimize(
             codec, state, X, Y, sub,
             cfg=cfg, n_epochs=n_optimize_epochs, lr=lr, sample_size=sample_size,
@@ -115,7 +124,9 @@ def compress(
         meta = codec.meta(level)
         n_ft = (finetune_overrides or {}).get(level, finetune_epochs(cfg, meta.n_groups, level))
         report_at = set(np.linspace(0, meta.n_groups - 1, 10).astype(int).tolist())
-        for step_i in range(meta.n_groups):
+        # resume support: groups already coded (restored state) are skipped
+        already = int(np.asarray(state.level(level).compressed).sum(axis=1).max())
+        for step_i in range(already, meta.n_groups):
             state = encode_step(codec, state, level)
             if n_ft > 0:
                 key, sub = jax.random.split(key)
@@ -135,6 +146,10 @@ def compress(
                 )
             if log_fn is not None:
                 log_fn(level, step_i, state)
+            if state_path is not None and (step_i + 1) % save_every == 0:
+                from recombiner_tpu.io.encode_state import save_encode_state
+
+                save_encode_state(state_path, state, extra={"level": level, "step": step_i})
     jax.block_until_ready(state.w.indices)
     timings["code_s"] = time.perf_counter() - t1
 

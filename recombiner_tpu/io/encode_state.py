@@ -1,0 +1,61 @@
+"""Persistent encode state: resumable compression across process restarts.
+
+The reference can only resume within a live process (its ``*_compressed_num``
+counters, test_model.py:700-803); a crash loses hours of encoding. Here the
+full CodecState (posteriors, freeze masks, transmitted indices, betas) is a
+flat npz snapshot; ``compress`` can be re-entered from it and will skip
+already-coded groups (its group selection masks compressed groups).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from recombiner_tpu.coding.encoder import CodecState, LevelState
+from recombiner_tpu.models.gaussian import Gaussian
+
+STATE_VERSION = 1
+
+_FIELDS = ("frozen_mask", "frozen_val", "kl_beta", "compressed", "indices")
+
+
+def save_encode_state(path: str, state: CodecState, *, extra: Optional[dict] = None) -> None:
+    arrays = {}
+    levels = []
+    for name in ("w", "h", "hh"):
+        ls = getattr(state, name)
+        if ls is None:
+            continue
+        levels.append(name)
+        arrays[f"{name}/loc"] = np.asarray(ls.q.loc)
+        arrays[f"{name}/log_scale"] = np.asarray(ls.q.log_scale)
+        for f in _FIELDS:
+            arrays[f"{name}/{f}"] = np.asarray(getattr(ls, f))
+    header = {"version": STATE_VERSION, "levels": levels, **(extra or {})}
+    arrays["__header__"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_encode_state(path: str) -> CodecState:
+    z = np.load(path if str(path).endswith(".npz") else path + ".npz")
+    header = json.loads(bytes(z["__header__"]).decode())
+    if header["version"] > STATE_VERSION:
+        raise ValueError(f"encode state version {header['version']} unsupported")
+
+    def level(name: str) -> Optional[LevelState]:
+        if name not in header["levels"]:
+            return None
+        kw = {f: jnp.asarray(z[f"{name}/{f}"]) for f in _FIELDS}
+        return LevelState(
+            q=Gaussian(
+                loc=jnp.asarray(z[f"{name}/loc"]),
+                log_scale=jnp.asarray(z[f"{name}/log_scale"]),
+            ),
+            **kw,
+        )
+
+    return CodecState(w=level("w"), h=level("h"), hh=level("hh"))

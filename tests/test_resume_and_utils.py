@@ -1,0 +1,117 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recombiner_tpu.coding.encoder import encode_step, init_codec
+from recombiner_tpu.coding.progressive import compress
+from recombiner_tpu.config import TINY
+from recombiner_tpu.data.synthetic import synthetic_dataset
+from recombiner_tpu.io.encode_state import load_encode_state, save_encode_state
+from recombiner_tpu.priors.artifact import build_prior_artifact
+from recombiner_tpu.priors.trainer import em_train
+from recombiner_tpu.utils.tracing import StepTimer, log_jsonl, trace
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=20)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y), max_bitrate=4.0,
+        n_em_iters=2, first_epochs=15, later_epochs=10, lr=2e-3,
+    )
+    return cfg, build_prior_artifact(res.state, res.priors, res.kl_beta, cfg), X, Y
+
+
+def test_encode_state_roundtrip(artifact, tmp_path):
+    cfg, art, X, Y = artifact
+    codec, state = init_codec(art, n_rows=2)
+    for _ in range(3):
+        state = encode_step(codec, state, "w")
+    path = str(tmp_path / "enc.npz")
+    save_encode_state(path, state, extra={"note": "mid-encode"})
+    restored = load_encode_state(path)
+    np.testing.assert_array_equal(np.asarray(state.w.indices), np.asarray(restored.w.indices))
+    np.testing.assert_array_equal(
+        np.asarray(state.w.compressed), np.asarray(restored.w.compressed)
+    )
+    np.testing.assert_allclose(np.asarray(state.w.q.loc), np.asarray(restored.w.q.loc))
+    np.testing.assert_allclose(
+        np.asarray(state.w.frozen_val), np.asarray(restored.w.frozen_val)
+    )
+    assert restored.h is None
+
+
+def test_resume_compress_skips_coded_groups(artifact, tmp_path):
+    """Kill-and-restart mid-encode: the resumed run codes only the remaining
+    groups and never re-codes finished ones."""
+    cfg, art, X, Y = artifact
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+    codec, state = init_codec(art, n_rows=2)
+
+    # phase 1 + 4 groups, then "crash"
+    from recombiner_tpu.coding.encoder import optimize
+
+    state = optimize(codec, state, Xj, Yj, jax.random.key(1), cfg=cfg,
+                     n_epochs=10, lr=2e-3, sample_size=2)
+    for _ in range(4):
+        state = encode_step(codec, state, "w")
+    idx_before = np.asarray(state.w.indices).copy()
+    comp_before = np.asarray(state.w.compressed).copy()
+    path = str(tmp_path / "enc.npz")
+    save_encode_state(path, state)
+
+    # restart from disk
+    restored = load_encode_state(path)
+    result = compress(
+        codec, restored, Xj, Yj, cfg, jax.random.key(2),
+        n_optimize_epochs=10,  # must be skipped on resume
+        lr=2e-3, sample_size=2, finetune_overrides={"w": 1},
+    )
+    assert bool(np.asarray(result.state.w.compressed).all())
+    # previously coded groups keep their transmitted indices
+    np.testing.assert_array_equal(
+        np.asarray(result.state.w.indices)[comp_before], idx_before[comp_before]
+    )
+
+
+def test_encode_step_noop_when_all_coded(artifact):
+    cfg, art, X, Y = artifact
+    codec, state = init_codec(art, n_rows=2)
+    for _ in range(codec.w.n_groups):
+        state = encode_step(codec, state, "w")
+    idx = np.asarray(state.w.indices).copy()
+    extra = encode_step(codec, state, "w")  # one step too many
+    np.testing.assert_array_equal(np.asarray(extra.w.indices), idx)
+    np.testing.assert_array_equal(
+        np.asarray(extra.w.frozen_val), np.asarray(state.w.frozen_val)
+    )
+
+
+def test_step_timer():
+    t = StepTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b", sync_on=jnp.zeros(3)):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert s["b"]["count"] == 1
+    assert s["a"]["total_s"] >= 0
+
+
+def test_trace_noop_and_log_jsonl(tmp_path):
+    with trace(None):
+        x = jnp.ones(3) * 2
+    assert float(x.sum()) == 6.0
+    p = str(tmp_path / "log.jsonl")
+    log_jsonl(p, {"step": 1, "psnr": 30.5})
+    log_jsonl(p, {"step": 2, "psnr": 31.0})
+    recs = [json.loads(l) for l in open(p)]
+    assert recs[1]["psnr"] == 31.0
