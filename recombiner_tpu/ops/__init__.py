@@ -1,0 +1,1 @@
+from recombiner_tpu.ops.blocked_inr import inr_forward_blocked  # noqa: F401
