@@ -62,6 +62,11 @@ class ModalityConfig:
     # relative entropy coding block size (test_model.py:98)
     bits_per_group: int = 16
 
+    # matmul/conv input precision: "float32" or "bfloat16" (accumulation is
+    # always f32; posteriors/losses always f32). Part of the artifact config,
+    # so encoder and decoder agree.
+    compute_dtype: str = "float32"
+
     # ---------------------------------------------------------------- derived
 
     @property

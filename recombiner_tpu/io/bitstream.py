@@ -33,15 +33,23 @@ def pack_bitstream(
     bits_per_group: int,
     extra: dict | None = None,
 ) -> bytes:
+    from recombiner_tpu import native
+
     dtype = np.uint16 if bits_per_group <= 16 else np.uint32
     levels = []
     payload = b""
     for name, idx in indices.items():
         idx = np.ascontiguousarray(np.asarray(idx))
-        if idx.min() < 0 or idx.max() >= 2**bits_per_group:
-            raise ValueError(f"index out of range for {bits_per_group}-bit groups")
         levels.append({"name": name, "rows": int(idx.shape[0]), "groups": int(idx.shape[1])})
-        payload += idx.astype(dtype).tobytes()
+        if dtype is np.uint16:
+            packed = native.pack_indices(idx, bits_per_group)  # range-checked in C++
+        else:
+            packed = None
+        if packed is None:
+            if idx.min() < 0 or idx.max() >= 2**bits_per_group:
+                raise ValueError(f"index out of range for {bits_per_group}-bit groups")
+            packed = idx.astype(dtype)
+        payload += packed.tobytes()
     header = json.dumps(
         {
             "config": config_name,

@@ -23,7 +23,8 @@ from recombiner_tpu.models.upsample import apply_upsample
 
 def _upsample(x: jax.Array, cfg: ModalityConfig, params) -> jax.Array:
     return apply_upsample(
-        params, x, cfg.data_dim, cfg.layerwise_scale_factors, cfg.paddings
+        params, x, cfg.data_dim, cfg.layerwise_scale_factors, cfg.paddings,
+        compute_dtype=cfg.compute_dtype,
     )
 
 

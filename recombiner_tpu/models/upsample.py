@@ -77,23 +77,28 @@ def apply_upsample(
     data_dim: int,
     layerwise_scale_factors: Sequence[ScaleFactor],
     paddings: Sequence[int],
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Map latent PEs (N, *lpe_spatial, latent_dim) -> (N, *pixel_sizes, out).
 
     Equivalent computation to prior_model.py:47-59 in channel-last layout.
+    ``compute_dtype=bfloat16`` feeds the convs bf16 inputs (f32 accumulate) —
+    halves HBM traffic of the dominant conv stack.
     """
     dn = _conv_dim_numbers(data_dim)
+    cd = jnp.dtype(compute_dtype)
     for i in range(3):
         x = _nearest_upsample(x, layerwise_scale_factors[i], data_dim)
         p = int(paddings[i])
+        # conv in compute_dtype end-to-end (the TPU MXU accumulates f32
+        # internally either way); bias-add and activation back in f32
         x = jax.lax.conv_general_dilated(
-            x,
-            params[f"conv{i}"]["w"],
+            x.astype(cd),
+            params[f"conv{i}"]["w"].astype(cd),
             window_strides=(1,) * data_dim,
             padding=[(p, p)] * data_dim,
             dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         x = x + params[f"conv{i}"]["b"]
         if i != 2:
             x = jax.nn.leaky_relu(x, negative_slope=0.01)
