@@ -91,6 +91,11 @@ def main(argv=None):
                 flush=True,
             )
 
+    history_path = os.path.join(
+        args.saving_dir,
+        f"LOSS_train_size_{train_size}_max_bitrate={args.max_bitrate:.3f}.json",
+    )
+
     res = em_train(
         jax.random.key(args.seed),
         cfg,
@@ -104,6 +109,10 @@ def main(argv=None):
         checkpoint_fn=checkpoint_fn,
         log_fn=log_fn,
     )
+    import json
+
+    with open(history_path, "w") as f:
+        json.dump(res.elbo_history, f)
     print(f"Saved prior artifact to {ckpt_path}", flush=True)
     return res
 

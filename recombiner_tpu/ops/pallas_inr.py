@@ -2,23 +2,31 @@
 
 Fuses the whole per-sample coordinate-MLP — every layer's x @ W + b and the
 sin(w0 x) activations — into one kernel so intermediate activations live in
-VMEM instead of round-tripping through HBM (the epoch is HBM-bandwidth-bound;
-see ops/blocked_inr.py notes). The learned A-transform matmuls stay in XLA
-(they are large dense matmuls the MXU already handles at full tilt); the
-kernel consumes the materialized per-sample weights.
+VMEM instead of round-tripping through HBM (the ELBO epoch is
+HBM-bandwidth-bound; see ops/blocked_inr.py notes). The learned A-transform
+matmuls stay in XLA (large dense matmuls the MXU already handles at full
+tilt); per-layer weight matrices are materialized outside the kernel because
+Mosaic does not support 1-D -> 2-D vector reshapes in-kernel.
 
-Grid: (B, P / TILE_P) over flattened (row, MC-sample) batch and pixel tiles.
-Per program: load an x tile (TILE_P, in_dim) and this sample's packed weight
-vector, unpack W_l/b_l per layer, chain the matmuls in VMEM.
+Grid: (B, P / TILE_P) over the flattened (row, MC-sample) batch and pixel
+tiles. Per program: load an x tile (TILE_P, in_dim) plus this sample's
+per-layer (in, out) weights and biases, chain the matmuls in VMEM.
 
 A jnp reference fallback (models/inr.py) is golden-tested against this kernel
 in tests/test_pallas_inr.py (interpret mode on CPU, compiled on TPU).
+
+Measured on v5e (CIFAR, B=2500, P=1024): bit-exact parity with the einsum
+path (max abs diff 0.0), but 32 ms vs 8.4 ms forward — the (B, P/TILE) grid
+of 5000 small programs pays more in per-program weight reloads than it saves
+in activation traffic; XLA's batched-einsum pipelining wins at this size.
+Not wired into the default path; kept as the kernel substrate for a future
+fused forward+backward (where the residual-traffic savings are 3x larger).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,78 +34,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from recombiner_tpu.config import ModalityConfig
-from recombiner_tpu.models.inr import slice_layer
+from recombiner_tpu.models.inr import latent_to_weights, slice_layer
 
 
-def _kernel(x_ref, w_ref, out_ref, *, cfg: ModalityConfig):
-    """x_ref: (1, TILE_P, in_dim); w_ref: (1, 1, n_w); out: (1, TILE_P, out)."""
-    dims = cfg.net_dims
-    cum = (0,) + cfg.cum_param_sizes
+def _kernel(*refs, cfg: ModalityConfig):
+    """refs = (x, W_0, b_0, ..., W_{L-1}, b_{L-1}, out).
+
+    x: (1, TILE_P, in); W_l: (1, in_l, out_l); b_l: (1, 1, out_l);
+    out: (1, TILE_P, out_dim).
+    """
+    x_ref = refs[0]
+    out_ref = refs[-1]
     x = x_ref[0]
-    w_all = w_ref[0, 0]
     for li in range(cfg.n_layers):
-        i_dim, o_dim = dims[li], dims[li + 1]
-        seg = w_all[cum[li] : cum[li + 1]]
-        b = seg[:o_dim]
-        w = seg[o_dim:].reshape(i_dim, o_dim)
-        x = (
-            jnp.dot(x, w, preferred_element_type=jnp.float32)
-            + b[None, :]
-        )
+        w = refs[1 + 2 * li][0]
+        b = refs[2 + 2 * li][0]
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
         if li != cfg.n_layers - 1:
             x = jnp.sin(cfg.w0 * x)
     out_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile_p", "interpret"))
-def inr_forward_pallas(
-    x: jax.Array,
-    weights: jax.Array,
-    cfg: ModalityConfig,
-    tile_p: int = 256,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused forward on materialized per-sample weights.
+def materialize_weights(
+    h_w: jax.Array, A: Sequence[jax.Array], cfg: ModalityConfig
+) -> List[Tuple[jax.Array, jax.Array]]:
+    """A-transform + unpack: (B, D) latents -> [(W_l (B,in,out), b_l (B,1,out))]."""
+    dims = cfg.net_dims
+    out = []
+    for li in range(cfg.n_layers):
+        lat = slice_layer(h_w, li, cfg.cum_param_sizes)
+        lat = jnp.einsum("bd,de->be", lat, A[li], preferred_element_type=jnp.float32)
+        w, b = latent_to_weights(lat, dims[li], dims[li + 1])
+        out.append((w, b[:, None, :]))
+    return out
 
-    Args:
-        x: (B, P, in_dim) flattened (row, sample) batch of feature grids.
-        weights: (B, n_w) packed per-layer [bias | W] vectors, i.e. the
-            result of the A-transform: concat_l(h_w_l @ A_l).
-    Returns:
-        (B, P, out_dim) predictions.
-    """
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile_p", "interpret"))
+def _pallas_forward(x, wbs_flat, cfg: ModalityConfig, tile_p: int, interpret: bool):
     B, P, Fin = x.shape
-    n_w = weights.shape[-1]
     assert P % tile_p == 0, (P, tile_p)
     grid = (B, P // tile_p)
-    # Mosaic block constraint: last two dims must be (8k, 128k) or equal the
-    # array dims — give weights a unit sublane axis so (1, n_w) is "equal".
-    weights3 = weights.reshape(B, 1, n_w)
+    dims = cfg.net_dims
+
+    in_specs = [
+        pl.BlockSpec((1, tile_p, Fin), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM)
+    ]
+    for li in range(cfg.n_layers):
+        i_dim, o_dim = dims[li], dims[li + 1]
+        in_specs.append(
+            pl.BlockSpec((1, i_dim, o_dim), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, 1, o_dim), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+
     return pl.pallas_call(
         functools.partial(_kernel, cfg=cfg),
         out_shape=jax.ShapeDtypeStruct((B, P, cfg.output_dim), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_p, Fin), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_w), lambda b, p: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, tile_p, cfg.output_dim), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x, weights3)
-
-
-def transform_latents(h_w: jax.Array, A: Sequence[jax.Array], cfg: ModalityConfig) -> jax.Array:
-    """Apply the learned linear reparameterization: (B, D) latents ->
-    (B, D) packed per-layer weights (concat of h_w_l @ A_l)."""
-    outs = []
-    for li in range(cfg.n_layers):
-        lat = slice_layer(h_w, li, cfg.cum_param_sizes)
-        outs.append(
-            jnp.einsum("bd,de->be", lat, A[li], preferred_element_type=jnp.float32)
-        )
-    return jnp.concatenate(outs, axis=-1)
+    )(x, *wbs_flat)
 
 
 def inr_forward_fused(
@@ -114,8 +114,9 @@ def inr_forward_fused(
     """
     R, S, P, Fin = x.shape
     B = R * S
-    w = transform_latents(h_w.reshape(B, -1), A, cfg)
-    y = inr_forward_pallas(
-        x.reshape(B, P, Fin), w, cfg, tile_p=tile_p, interpret=interpret
-    )
+    wbs = materialize_weights(h_w.reshape(B, -1), A, cfg)
+    flat = []
+    for w, b in wbs:
+        flat += [w, b]
+    y = _pallas_forward(x.reshape(B, P, Fin), tuple(flat), cfg, tile_p, interpret)
     return y.reshape(R, S, P, cfg.output_dim)

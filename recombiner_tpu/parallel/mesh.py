@@ -16,6 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+PIXEL_AXIS = "pixels"
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -23,6 +24,24 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(dp: int, sp: int) -> Mesh:
+    """(data, pixels) mesh: rows sharded over ``dp`` devices, the coordinate
+    grid (the framework's 'sequence' axis — SURVEY §2.2/§5.7) over ``sp``.
+
+    Pixel-axis parallelism needs no bespoke code: the INR evaluation and MSE
+    are pointwise/reductions in the pixel axis, so sharding X's pixel axis
+    makes GSPMD shard the whole forward pass and psum the loss over ICI.
+    """
+    devices = np.array(jax.devices()[: dp * sp]).reshape(dp, sp)
+    return Mesh(devices, (DATA_AXIS, PIXEL_AXIS))
+
+
+def shard_data_and_pixels(X: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place (R, P, F) feature grids with rows over 'data' and the pixel axis
+    over 'pixels'."""
+    return jax.device_put(X, NamedSharding(mesh, P(DATA_AXIS, PIXEL_AXIS)))
 
 
 def row_sharding(mesh: Mesh) -> NamedSharding:

@@ -7,19 +7,22 @@ import numpy as np
 
 from recombiner_tpu.config import CIFAR, TINY
 from recombiner_tpu.models.inr import init_linear_transform, inr_forward
-from recombiner_tpu.ops.pallas_inr import inr_forward_fused, transform_latents
+from recombiner_tpu.ops.pallas_inr import inr_forward_fused, materialize_weights
 
 
-def test_transform_latents_matches_per_layer():
+def test_materialize_weights_matches_per_layer():
     cfg = TINY
     A = init_linear_transform(jax.random.key(0), cfg.net_dims)
     hw = jax.random.normal(jax.random.key(1), (5, cfg.n_inr_params))
-    w = transform_latents(hw, A, cfg)
-    assert w.shape == (5, cfg.n_inr_params)
-    # layer 0 segment equals hw[:, :c0] @ A0
+    wbs = materialize_weights(hw, A, cfg)
+    assert len(wbs) == cfg.n_layers
+    # layer 0: bias-first packing of hw[:, :c0] @ A0 (prior_model.py:121-127)
     c0 = cfg.cum_param_sizes[0]
+    lat0 = np.asarray(hw[:, :c0] @ A[0])
+    o0 = cfg.net_dims[1]
+    np.testing.assert_allclose(np.asarray(wbs[0][1][:, 0]), lat0[:, :o0], atol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(w[:, :c0]), np.asarray(hw[:, :c0] @ A[0]), atol=1e-5
+        np.asarray(wbs[0][0]), lat0[:, o0:].reshape(5, cfg.net_dims[0], o0), atol=1e-5
     )
 
 
