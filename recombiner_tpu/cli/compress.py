@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--sample_size", type=int, default=5)
     p.add_argument("--finetune_epochs", type=int, default=None, help="override per-group finetune epochs (default: reference schedule)")
+    p.add_argument("--state_path", default=None, help="encode-state snapshot path: written every --save_every groups and resumed from if it exists")
+    p.add_argument("--save_every", type=int, default=10)
     return p.parse_args(argv)
 
 
@@ -50,6 +52,11 @@ def main(argv=None):
     X, Y = load_test_set(args.test_dir, args.test_idx, cfg)
     n_rows = X.shape[0]
     codec, state = init_codec(art, n_rows)
+    if args.state_path and os.path.exists(args.state_path):
+        from recombiner_tpu.io.encode_state import load_encode_state
+
+        state = load_encode_state(args.state_path)
+        print(f"Resumed encode state from {args.state_path}", flush=True)
     print(
         f"Model initialized. Expected bitrate "
         f"{cfg.bitrate_of_groups(codec.w.n_groups, 0 if codec.h is None else codec.h.n_groups, 0 if codec.hh is None else codec.hh.n_groups):.3f}",
@@ -72,6 +79,8 @@ def main(argv=None):
             else {k: args.finetune_epochs for k in ("w", "h", "hh")}
         ),
         verbose=True,
+        state_path=args.state_path,
+        save_every=args.save_every,
     )
 
     os.makedirs(args.save_dir, exist_ok=True)

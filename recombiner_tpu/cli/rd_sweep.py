@@ -1,0 +1,104 @@
+"""Rate-distortion sweep: train priors at several bitrate targets and encode a
+test set at each, producing an RD curve (the experiment behind the reference
+paper's headline figures).
+
+    python -m recombiner_tpu.cli.rd_sweep --dataset cifar --train_dir ... \
+        --test_dir ... --bitrates 0.5 1.0 2.0 --out rd.json
+
+With --synthetic N, runs on N synthetic datapoints (no data required) —
+useful for smoke-testing the full RD pipeline on any machine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recombiner_tpu.coding.encoder import init_codec
+from recombiner_tpu.coding.progressive import compress
+from recombiner_tpu.config import get_config
+from recombiner_tpu.data.load_data import load_test_set, load_training_set
+from recombiner_tpu.data.synthetic import synthetic_dataset
+from recombiner_tpu.priors.artifact import build_prior_artifact
+from recombiner_tpu.priors.trainer import em_train
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="RD sweep")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--train_dir", default=None)
+    p.add_argument("--test_dir", default=None)
+    p.add_argument("--test_idx", type=int, default=0)
+    p.add_argument("--synthetic", type=int, default=0, help="use N synthetic datapoints")
+    p.add_argument("--bitrates", type=float, nargs="+", required=True)
+    p.add_argument("--train_size", type=int, default=10_000_000_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--n_em_iters", type=int, default=550)
+    p.add_argument("--first_epochs", type=int, default=200)
+    p.add_argument("--later_epochs", type=int, default=100)
+    p.add_argument("--n_encode_epochs", type=int, default=30000)
+    p.add_argument("--finetune_epochs", type=int, default=None)
+    p.add_argument("--sample_size", type=int, default=5)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--out", default="rd_curve.json")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = get_config(args.dataset)
+
+    if args.synthetic:
+        Xtr, Ytr = synthetic_dataset(cfg, args.synthetic, seed=args.seed)
+        Xte, Yte = synthetic_dataset(cfg, max(args.synthetic // 2, 1), seed=args.seed + 1)
+    else:
+        n = args.train_size // cfg.patches_per_datapoint if cfg.patch else args.train_size
+        Xtr, Ytr = load_training_set(args.train_dir, cfg, args.seed, n)
+        Xte, Yte = load_test_set(args.test_dir, args.test_idx, cfg)
+
+    points = []
+    for max_bitrate in args.bitrates:
+        print(f"=== bitrate target {max_bitrate} ===", flush=True)
+        res = em_train(
+            jax.random.key(args.seed), cfg, jnp.asarray(Xtr), jnp.asarray(Ytr),
+            max_bitrate=max_bitrate, n_em_iters=args.n_em_iters,
+            first_epochs=args.first_epochs, later_epochs=args.later_epochs,
+            lr=args.lr,
+        )
+        art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
+                                   codebook_seed=args.seed)
+        codec, state = init_codec(art, n_rows=Xte.shape[0])
+        enc = compress(
+            codec, state, jnp.asarray(Xte), jnp.asarray(Yte), cfg,
+            jax.random.key(args.seed + 1),
+            n_optimize_epochs=args.n_encode_epochs, lr=args.lr,
+            sample_size=args.sample_size,
+            finetune_overrides=(
+                None if args.finetune_epochs is None
+                else {k: args.finetune_epochs for k in ("w", "h", "hh")}
+            ),
+            verbose=True,
+        )
+        point = {
+            "target_bitrate": max_bitrate,
+            "actual_bitrate": enc.bitrate,
+            "distortion_mean": float(np.mean(enc.distortion)),
+            "n_groups": {n: int(codec.meta(n).n_groups) for n in codec.level_names},
+            "timings": enc.timings,
+        }
+        points.append(point)
+        print(json.dumps(point), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump({"dataset": args.dataset, "points": points}, f, indent=2)
+    print(f"RD curve -> {args.out}", flush=True)
+    return points
+
+
+if __name__ == "__main__":
+    main()

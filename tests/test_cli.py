@@ -75,3 +75,25 @@ def test_cli_compress_rejects_wrong_dataset(image_dirs):
                 "--prior_path", prior_path, "--save_dir", out_dir,
             ]
         )
+
+
+def test_rd_sweep_synthetic(tmp_path):
+    from recombiner_tpu.cli import rd_sweep
+
+    out = str(tmp_path / "rd.json")
+    points = rd_sweep.main(
+        [
+            "--dataset", "tiny", "--synthetic", "2", "--bitrates", "2.0", "6.0",
+            "--n_em_iters", "2", "--first_epochs", "10", "--later_epochs", "5",
+            "--n_encode_epochs", "15", "--finetune_epochs", "1",
+            "--sample_size", "2", "--lr", "2e-3", "--out", out,
+        ]
+    )
+    assert len(points) == 2
+    # higher bitrate target => more groups => higher actual bitrate
+    assert points[1]["actual_bitrate"] >= points[0]["actual_bitrate"]
+    import json
+
+    saved = json.load(open(out))
+    assert saved["dataset"] == "tiny"
+    assert len(saved["points"]) == 2
