@@ -1,0 +1,123 @@
+"""Reference-checkpoint converter: write a real reference-format pickle using
+the imported reference code, convert it, and verify the mappings agree
+numerically (then encode with it end-to-end)."""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def reference_pickle(tmp_path_factory):
+    """Build a tiny prior checkpoint exactly the way main_prior_training.py
+    does (same dump sequence, :283-341), with the reference's own classes."""
+    torch = __import__("torch")
+    torch.manual_seed(0)
+    sys.path.insert(0, REF)
+    try:
+        from prior_model import LinearTransform, PriorBNNmodel, Upsample, get_grouping
+    finally:
+        sys.path.remove(REF)
+
+    model = PriorBNNmodel(
+        in_dim=32, hidden_dims=[8, 8], out_dim=3, train_size=2, data_dim=2,
+        pixel_sizes=[16, 16], upsample_factors=[16, 16], latent_dim=128,
+        patch=False, patch_nums=None, hierarchical_patch_nums=None, device="cpu",
+    )
+    lt = LinearTransform(model.dims)
+    up = Upsample(2, [2, 1, 1], [4, 2, 2])
+
+    s0 = float(torch.nn.functional.softplus(torch.tensor(-2.0)) / 6)
+    D = model.cum_param_sizes[-1]
+    prior_loc = torch.zeros(D)
+    prior_scale = torch.ones(D) * s0
+    prior_lpe_loc = torch.zeros(model.lpe_loc.shape[1:])
+    prior_lpe_scale = torch.ones(model.lpe_loc.shape[1:]) * s0
+
+    q_loc = torch.cat([model.loc.flatten(start_dim=1),
+                       model.lpe_loc.flatten(start_dim=1)], -1)
+    q_scale = torch.cat([model.st(model.log_scale).flatten(start_dim=1),
+                         model.st(model.lpe_log_scale).flatten(start_dim=1)], -1)
+    p_loc = torch.cat([prior_loc, prior_lpe_loc.flatten()])
+    p_scale = torch.cat([prior_scale, prior_lpe_scale.flatten()])
+    grouping = get_grouping(q_loc.detach(), q_scale.detach(), p_loc, p_scale)
+    avg_ls = torch.cat([
+        model.log_scale.detach().mean(0),
+        model.lpe_log_scale.detach().mean(0).flatten(),
+    ])
+
+    path = str(tmp_path_factory.mktemp("ref") / "PRIOR_ref.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(grouping, f)
+        pickle.dump((p_loc, p_scale, 1e-7, avg_ls), f)
+        pickle.dump((None,) * 8, f)
+        pickle.dump((None, None, 1e-7, None), f)
+        pickle.dump((None,) * 8, f)
+        pickle.dump((None, None, 1e-7, None), f)
+        pickle.dump(lt, f)
+        pickle.dump(up, f)
+    return path, lt, up
+
+
+def test_convert_and_mapping_parity(reference_pickle):
+    import jax.numpy as jnp
+    import torch
+
+    from recombiner_tpu.config import TINY
+    from recombiner_tpu.io.convert_reference import convert_reference_checkpoint
+    from recombiner_tpu.models.upsample import apply_upsample
+
+    path, lt, up = reference_pickle
+    art = convert_reference_checkpoint(path, "tiny", reference_path=REF)
+    assert art.config == TINY
+    assert art.w.p_loc.shape == (TINY.n_coded_params,)
+    assert art.w.grouping.n_params == TINY.n_coded_params
+
+    # A matrices carried over unchanged
+    np.testing.assert_array_equal(art.A[0], lt.A[0].detach().numpy())
+
+    # converted upsampler == reference upsampler on the same input
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 1, 1, 128)).astype(np.float32)
+    ours = np.asarray(
+        apply_upsample(
+            {k: {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in art.up.items()},
+            jnp.asarray(x), 2, (4, 2, 2), (2, 1, 1),
+        )
+    )
+    with torch.no_grad():
+        ref = up(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    ref = np.transpose(ref, (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_encode_with_converted_artifact(reference_pickle):
+    """A prior trained by the REFERENCE code drives OUR encoder end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from recombiner_tpu.coding.encoder import decode, init_codec
+    from recombiner_tpu.coding.progressive import compress
+    from recombiner_tpu.config import TINY
+    from recombiner_tpu.data.synthetic import synthetic_dataset
+    from recombiner_tpu.io.convert_reference import convert_reference_checkpoint
+
+    path, _, _ = reference_pickle
+    art = convert_reference_checkpoint(path, "tiny", reference_path=REF)
+    X, Y = synthetic_dataset(TINY, 2, seed=5)
+    codec, state = init_codec(art, n_rows=2)
+    res = compress(
+        codec, state, jnp.asarray(X), jnp.asarray(Y), TINY, jax.random.key(0),
+        n_optimize_epochs=15, lr=2e-3, sample_size=2,
+        finetune_overrides={"w": 1},
+    )
+    dec = np.asarray(decode(codec, res.indices, jnp.asarray(X), TINY))
+    np.testing.assert_array_equal(dec, res.reconstruction)
