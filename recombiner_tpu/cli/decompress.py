@@ -23,6 +23,11 @@ def parse_args(argv=None):
     p.add_argument("--bitstream", required=True)
     p.add_argument("--prior_path", required=True)
     p.add_argument("--save_dir", required=True)
+    p.add_argument(
+        "--export_media",
+        action="store_true",
+        help="also write reassembled PNG/WAV/PDB/NPZ files per datapoint",
+    )
     return p.parse_args(argv)
 
 
@@ -51,6 +56,12 @@ def main(argv=None):
     )
     np.save(out, y)
     print(f"Decoded {n_rows} rows -> {out} shape={y.shape}", flush=True)
+    if args.export_media:
+        from recombiner_tpu.data.export import export_reconstructions
+
+        stem = os.path.basename(args.bitstream).replace(".rctb", "")
+        paths = export_reconstructions(y, cfg, args.save_dir, stem=stem)
+        print(f"Exported {len(paths)} media files ({paths[0]} ...)", flush=True)
     return y
 
 
