@@ -6,6 +6,14 @@ from the reference, all in service of the TPU execution model:
 
 - One level-generic ``LevelState``/``LevelMeta`` pair replaces the
   triplicated w/h/hh code paths.
+- **Posteriors are stored in PHYSICAL (param-order, physical-row) layout** so
+  the differentiated ELBO path contains ZERO gathers/scatters — gathers on
+  the grad path lower to TPU scatters in the backward pass and were measured
+  30-40x slower than the whole rest of the epoch. The coded (group-order,
+  budget-mixed-row) view exists only as static index maps; the coder and the
+  beta bookkeeping gather through them forward-only. (The reference instead
+  stores group-permuted posteriors and un-permutes every forward,
+  test_model.py:289-298.)
 - Ragged groups are padded to ``max_group_size`` so every coder call has one
   static shape (dynamic-slice windows + validity masks).
 - A* scoring is algebraically restructured: with codebook samples
@@ -17,11 +25,15 @@ from the reference, all in service of the TPU execution model:
 - All rows advance one group per encode step in parallel (the reference
   loops rows on the host, test_model.py:806-818); beta annealing and
   group-KL reductions are on-device segment-sums.
+
+Layout glossary (coded cell (r', c) <-> physical cell (r, d)):
+    d = param2group[c]           # coded position -> param index
+    r = perm_g2p[r', c]          # coded row -> physical row (patch mixing)
+    c = group2param[d]; r' = perm_p2g[r, c]
 """
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
@@ -44,13 +56,20 @@ from recombiner_tpu.models.mappings import lpe_to_pe, sample_hierarchical_latent
 class LevelMeta:
     """Static per-level coding metadata (device arrays + shape constants)."""
 
-    p_loc: jax.Array  # (Dpad,) prior loc, coded order
-    p_scale: jax.Array  # (Dpad,) prior scale, coded order
-    group_start: jax.Array  # (G,) int32
+    # priors in param order (KL path — elementwise, no gathers)
+    pp_loc: jax.Array  # (D,)
+    pp_scale: jax.Array  # (D,)
+    # priors in coded order, padded (coder window path)
+    p_loc: jax.Array  # (Dpad,)
+    p_scale: jax.Array  # (Dpad,)
+    group_start: jax.Array  # (G,) int32, coded offsets
     group_size: jax.Array  # (G,) int32
     group_idx: jax.Array  # (D,) int32 coded position -> group id
+    param2group: jax.Array  # (D,) int32 coded position -> param index
     group2param: jax.Array  # (D,) int32 param index -> coded position
-    perm_g2p: Optional[jax.Array]  # (R, D) int32 storage row per physical row
+    group_of_col: jax.Array  # (D,) int32 param index -> group id
+    perm_g2p: Optional[jax.Array]  # (R, D) int32 coded row -> physical row, per coded col
+    beta_row: Optional[jax.Array]  # (R, D) int32 physical cell -> its coded row, per param col
     eps: jax.Array  # (n_samples, Gmax) codebook
     gumbel: jax.Array  # (n_samples,)
     D: int = struct.field(pytree_node=False)
@@ -61,13 +80,13 @@ class LevelMeta:
 
 @struct.dataclass
 class LevelState:
-    """Trainable/evolving per-level state, stored in coded (group) order and
-    (for permuted levels) budget-mixed row order."""
+    """Trainable/evolving per-level state in PHYSICAL (param-order) layout;
+    group bookkeeping (betas, indices) in coded-row/group layout."""
 
-    q: Gaussian  # (R, Dpad)
-    frozen_mask: jax.Array  # (R, Dpad) float 1.0 where coded
-    frozen_val: jax.Array  # (R, Dpad)
-    kl_beta: jax.Array  # (R, G)
+    q: Gaussian  # (R, D) physical layout
+    frozen_mask: jax.Array  # (R, D) float 1.0 where coded
+    frozen_val: jax.Array  # (R, D)
+    kl_beta: jax.Array  # (R, G) coded rows
     compressed: jax.Array  # (R, G) bool
     indices: jax.Array  # (R, G) int32 transmitted sample indices
 
@@ -134,26 +153,36 @@ def _make_level_meta(
     p_loc[:D] = lv.p_loc[p2g]
     p_scale[:D] = lv.p_scale[p2g]
 
-    perm = None
+    perm = beta_row = None
     if permute_rows:
-        # cross-patch budget-mixing permutation, one per column
+        # cross-patch budget-mixing permutation, one per coded column
         # (test_model.py:182-208); regenerated deterministically at decode.
         perm = np.empty((n_rows, D), np.int32)
-        for d in range(D):
-            perm[:, d] = np.random.RandomState(d).choice(n_rows, n_rows, False)
+        inv = np.empty((n_rows, D), np.int32)
+        for c in range(D):
+            order = np.random.RandomState(c).choice(n_rows, n_rows, False)
+            perm[:, c] = order
+            inv[order, c] = np.arange(n_rows, dtype=np.int32)
+        # beta_row[r, d] = coded row owning physical cell (r, d)
+        beta_row = inv[:, g.group2param]
 
     n_samples = 2**bits_per_group
     eps = make_codebook(codebook_seed, level_name, n_samples, Gmax, codebook_kind)
     gum = jnp.asarray(gumbel_chain(n_samples, gumbel_seed), jnp.float32)
 
     return LevelMeta(
+        pp_loc=jnp.asarray(lv.p_loc, jnp.float32),
+        pp_scale=jnp.asarray(lv.p_scale, jnp.float32),
         p_loc=jnp.asarray(p_loc),
         p_scale=jnp.asarray(p_scale),
         group_start=jnp.asarray(g.group_start, jnp.int32),
         group_size=jnp.asarray(g.group_sizes, jnp.int32),
         group_idx=jnp.asarray(g.group_idx, jnp.int32),
+        param2group=jnp.asarray(g.param2group, jnp.int32),
         group2param=jnp.asarray(g.group2param, jnp.int32),
+        group_of_col=jnp.asarray(g.group_idx[g.group2param], jnp.int32),
         perm_g2p=None if perm is None else jnp.asarray(perm),
+        beta_row=None if beta_row is None else jnp.asarray(beta_row),
         eps=eps,
         gumbel=gum,
         D=D,
@@ -165,17 +194,15 @@ def _make_level_meta(
 
 def _init_level_state(lv: LevelArtifact, meta: LevelMeta, n_rows: int, kl_beta: float) -> LevelState:
     """Posteriors initialized from the prior: loc = p_loc, raw scale = the
-    training-average log_scale (test_model.py:138-166)."""
-    D, Dpad = meta.D, meta.Dpad
-    loc = jnp.broadcast_to(meta.p_loc, (n_rows, Dpad))
-    raw = np.zeros(Dpad, np.float32)
-    raw[:D] = lv.avg_log_scale[lv.grouping.param2group]
-    log_scale = jnp.broadcast_to(jnp.asarray(raw), (n_rows, Dpad))
+    training-average log_scale (test_model.py:138-166), in physical layout."""
+    D = meta.D
+    loc = jnp.broadcast_to(meta.pp_loc, (n_rows, D))
+    log_scale = jnp.broadcast_to(jnp.asarray(lv.avg_log_scale, jnp.float32), (n_rows, D))
     G = meta.n_groups
     return LevelState(
         q=Gaussian(loc=loc, log_scale=log_scale),
-        frozen_mask=jnp.zeros((n_rows, Dpad)),
-        frozen_val=jnp.zeros((n_rows, Dpad)),
+        frozen_mask=jnp.zeros((n_rows, D)),
+        frozen_val=jnp.zeros((n_rows, D)),
         kl_beta=jnp.full((n_rows, G), kl_beta, jnp.float32),
         compressed=jnp.zeros((n_rows, G), bool),
         indices=jnp.zeros((n_rows, G), jnp.int32),
@@ -229,20 +256,12 @@ def init_codec(
 
 def _effective(ls: LevelState) -> Tuple[jax.Array, jax.Array]:
     """Blend frozen samples into the posterior (test_model.py:289-290):
-    coded positions use the transmitted sample with zero std."""
+    coded positions use the transmitted sample with zero std. Pure
+    elementwise — masks/values are constants w.r.t. the optimization."""
     fm = ls.frozen_mask
     loc = ls.q.loc * (1.0 - fm) + ls.frozen_val * fm
     scale = scale_transform(ls.q.log_scale) * (1.0 - fm)
     return loc, scale
-
-
-def _to_param_order(x: jax.Array, meta: LevelMeta) -> jax.Array:
-    """Stored (mixed-row, coded-column) layout -> physical rows, param columns
-    (test_model.py:292-298)."""
-    x = x[:, : meta.D]
-    if meta.perm_g2p is not None:
-        x = jnp.take_along_axis(x, meta.perm_g2p, axis=0)
-    return x[:, meta.group2param]
 
 
 def predict(
@@ -255,12 +274,10 @@ def predict(
 ) -> jax.Array:
     """Render the INR from the current (partially coded) posteriors.
 
-    X: (R, P, fourier_dim) -> (R, S, P, out_dim).
+    X: (R, P, fourier_dim) -> (R, S, P, out_dim). Gather-free.
     """
     S = sample_size
     loc, scale = _effective(state.w)
-    loc = _to_param_order(loc, codec.w)
-    scale = _to_param_order(scale, codec.w)
 
     n_inr = cfg.n_inr_params
     R = loc.shape[0]
@@ -277,11 +294,7 @@ def predict(
 
     if cfg.patch:
         h_loc, h_scale = _effective(state.h)
-        h_loc = _to_param_order(h_loc, codec.h)
-        h_scale = _to_param_order(h_scale, codec.h)
         hh_loc, hh_scale = _effective(state.hh)
-        hh_loc = _to_param_order(hh_loc, codec.hh)
-        hh_scale = _to_param_order(hh_scale, codec.hh)
     else:
         h_loc = h_scale = hh_loc = hh_scale = None
 
@@ -296,25 +309,41 @@ def predict(
 
 
 def level_kl(ls: LevelState, meta: LevelMeta) -> jax.Array:
-    """Elementwise KL(q || p) on real coded positions: (R, D), nats."""
+    """Elementwise KL(q || p) in physical layout: (R, D), nats."""
     return kl_gaussian(
-        ls.q.loc[:, : meta.D],
-        scale_transform(ls.q.log_scale[:, : meta.D]),
-        meta.p_loc[: meta.D],
-        meta.p_scale[: meta.D],
+        ls.q.loc,
+        scale_transform(ls.q.log_scale),
+        meta.pp_loc,
+        meta.pp_scale,
     )
 
 
+def _to_coded(x: jax.Array, meta: LevelMeta) -> jax.Array:
+    """Physical (R, D) -> coded layout (R, D): coded cell (r', c) reads
+    physical (perm_g2p[r', c], param2group[c]). Forward-only gather."""
+    x = x[:, meta.param2group]
+    if meta.perm_g2p is not None:
+        x = jnp.take_along_axis(x, meta.perm_g2p, axis=0)
+    return x
+
+
 def group_kl(ls: LevelState, meta: LevelMeta) -> jax.Array:
-    """Per-(row, group) KL in nats via on-device segment-sum — the reference's
-    host-side np.bincount loop (test_model.py:383-402)."""
-    kl = level_kl(ls, meta)  # (R, D)
+    """Per-(coded row, group) KL in nats via on-device segment-sum — the
+    reference's host-side np.bincount loop (test_model.py:383-402)."""
+    kl = _to_coded(level_kl(ls, meta), meta)  # (R, D) coded
     return jax.ops.segment_sum(kl.T, meta.group_idx, num_segments=meta.n_groups).T
 
 
 def beta_weighted_kl(ls: LevelState, meta: LevelMeta) -> jax.Array:
-    kl = level_kl(ls, meta)
-    factor = ls.kl_beta[:, meta.group_idx]  # (R, D)
+    """sum_cells beta[owning group] * KL(cell). The beta factor is a
+    constant-indexed gather (no gradient flows through it), so the
+    differentiated path stays elementwise."""
+    kl = level_kl(ls, meta)  # (R, D) physical
+    beta = jax.lax.stop_gradient(ls.kl_beta)
+    if meta.beta_row is None:
+        factor = beta[:, meta.group_of_col]  # (R, D)
+    else:
+        factor = beta[meta.beta_row, meta.group_of_col[None, :]]
     return (kl * factor).sum()
 
 
@@ -415,31 +444,42 @@ def optimize(
 
 
 def encode_step_level(ls: LevelState, meta: LevelMeta) -> LevelState:
-    """Code ONE group per row, in parallel over all rows: pick each row's
-    max-KL uncompressed group, A*-score it against the shared codebook via
-    the [eps^2, eps] matmul basis, freeze the winning sample.
+    """Code ONE group per coded row, in parallel over all rows: pick each
+    row's max-KL uncompressed group, A*-score it against the shared codebook
+    via the [eps^2, eps] matmul basis, freeze the winning sample.
 
     Equivalent to one sweep of the reference's per-row host loop
     (test_model.py:806-818 + compress_group/sample_group :501-533,586-595).
+    Runs outside the optimization loop: the coded-view gathers and the
+    physical scatter here are forward-only.
     """
-    R, Gmax = ls.q.loc.shape[0], meta.Gmax
+    R, Gmax, D = ls.q.loc.shape[0], meta.Gmax, meta.D
 
     kls = group_kl(ls, meta) / jnp.log(2.0)
     kls = jnp.where(ls.compressed, -jnp.inf, kls)
-    g = jnp.argmax(kls, axis=1).astype(jnp.int32)  # (R,)
+    g = jnp.argmax(kls, axis=1).astype(jnp.int32)  # (R,) per coded row
     start = meta.group_start[g]
     size = meta.group_size[g]
 
-    def window(row, s):
-        return jax.lax.dynamic_slice(row, (s,), (Gmax,))
+    # coded-window cell coordinates, padded to Gmax
+    cols = start[:, None] + jax.lax.broadcasted_iota(jnp.int32, (R, Gmax), 1)
+    valid = cols < (start + size)[:, None]
+    cols_c = jnp.minimum(cols, D - 1)  # clamp pad lanes
+    d_cols = meta.param2group[cols_c]  # (R, Gmax) physical columns
+    if meta.perm_g2p is not None:
+        rows_phys = jnp.take_along_axis(meta.perm_g2p, cols_c, axis=1)
+    else:
+        rows_phys = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, Gmax))
 
-    q_loc = jax.vmap(window)(ls.q.loc, start)
-    q_scale = jax.vmap(window)(scale_transform(ls.q.log_scale), start)
-    p_loc = jax.vmap(window, in_axes=(None, 0))(meta.p_loc, start)
-    p_scale = jax.vmap(window, in_axes=(None, 0))(meta.p_scale, start)
-    valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, Gmax), 1) < size[:, None]
-    )
+    q_loc = ls.q.loc[rows_phys, d_cols]
+    q_scale = scale_transform(ls.q.log_scale)[rows_phys, d_cols]
+
+    def window(s):
+        return jax.lax.dynamic_slice(meta.p_loc, (s,), (Gmax,)), jax.lax.dynamic_slice(
+            meta.p_scale, (s,), (Gmax,)
+        )
+
+    p_loc, p_scale = jax.vmap(window)(start)
 
     # log q(z) - log p(z) with z = p_loc + p_scale * eps is quadratic in eps:
     #   alpha * eps^2 + beta * eps + const,  const dropped (argmax-invariant)
@@ -461,25 +501,24 @@ def encode_step_level(ls: LevelState, meta: LevelMeta) -> LevelState:
 
     z = p_loc + p_scale * meta.eps[idx]  # (R, Gmax)
 
-    def scatter(dest_row, s, val_row, valid_row):
-        win = jax.lax.dynamic_slice(dest_row, (s,), (Gmax,))
-        new = jnp.where(valid_row, val_row, win)
-        return jax.lax.dynamic_update_slice(dest_row, new, (s,))
-
-    frozen_val = jax.vmap(scatter)(ls.frozen_val, start, z, valid)
-    frozen_mask = jax.vmap(scatter)(
-        ls.frozen_mask, start, jnp.ones((R, Gmax)), valid
-    )
-    rows = jnp.arange(R)
     # rows whose groups are all coded are a no-op (resume / ragged finishes)
-    active = ~jnp.all(ls.compressed, axis=1)
+    active = ~jnp.all(ls.compressed, axis=1)  # (R,) coded rows
+    write = valid & active[:, None]
+
+    # scatter the frozen sample into physical cells; pad/inactive lanes are
+    # routed out of bounds and dropped (clamped duplicates would race)
+    d_cols_w = jnp.where(write, d_cols, D)
+    frozen_val = ls.frozen_val.at[rows_phys, d_cols_w].set(z, mode="drop")
+    frozen_mask = ls.frozen_mask.at[rows_phys, d_cols_w].set(1.0, mode="drop")
+
+    rows = jnp.arange(R)
 
     def gate(new, old):
         return jnp.where(active.reshape((R,) + (1,) * (new.ndim - 1)), new, old)
 
     return ls.replace(
-        frozen_val=gate(frozen_val, ls.frozen_val),
-        frozen_mask=gate(frozen_mask, ls.frozen_mask),
+        frozen_val=frozen_val,
+        frozen_mask=frozen_mask,
         kl_beta=gate(ls.kl_beta.at[rows, g].set(0.0), ls.kl_beta),
         compressed=gate(ls.compressed.at[rows, g].set(True), ls.compressed),
         indices=gate(ls.indices.at[rows, g].set(idx), ls.indices),
@@ -497,7 +536,7 @@ def encode_step(codec: Codec, state: CodecState, level: str) -> CodecState:
 def decode_level_values(meta: LevelMeta, indices: jax.Array) -> jax.Array:
     """Expand transmitted indices into coded-order parameter values (R, D).
 
-    Fully parallel: z[r, d] = p_loc[d] + p_scale[d] * eps[idx[r, g(d)], off(d)].
+    Fully parallel: z[r', c] = p_loc[c] + p_scale[c] * eps[idx[r', g(c)], off(c)].
     """
     D = meta.D
     gidx = meta.group_idx  # (D,)
@@ -505,6 +544,16 @@ def decode_level_values(meta: LevelMeta, indices: jax.Array) -> jax.Array:
     sel = indices[:, gidx]  # (R, D)
     eps_vals = meta.eps[sel, offs[None, :]]
     return meta.p_loc[:D] + meta.p_scale[:D] * eps_vals
+
+
+def _coded_to_physical(x_coded: jax.Array, meta: LevelMeta) -> jax.Array:
+    """Coded (R, D) -> physical layout: phys[r, d] = coded[r'(r,d), group2param...].
+
+    phys[r, d] = coded[beta_row[r, d], group2param[d]] (pure gather)."""
+    x = x_coded[:, :]
+    if meta.beta_row is None:
+        return jnp.take(x, meta.group2param, axis=1)
+    return x[meta.beta_row, meta.group2param[None, :]]
 
 
 def decode_state(codec: Codec, indices: dict, cfg: ModalityConfig) -> CodecState:
@@ -515,15 +564,11 @@ def decode_state(codec: Codec, indices: dict, cfg: ModalityConfig) -> CodecState
         meta = codec.meta(name)
         idx = jnp.asarray(indices[name], jnp.int32)
         R = idx.shape[0]
-        vals = decode_level_values(meta, idx)
-        pad = jnp.zeros((R, meta.Gmax))
+        vals = _coded_to_physical(decode_level_values(meta, idx), meta)
         return LevelState(
-            q=Gaussian(
-                loc=jnp.concatenate([vals, pad], -1),
-                log_scale=jnp.full((R, meta.Dpad), -1e9),
-            ),
-            frozen_mask=jnp.ones((R, meta.Dpad)),
-            frozen_val=jnp.concatenate([vals, pad], -1),
+            q=Gaussian(loc=vals, log_scale=jnp.full((R, meta.D), -1e9)),
+            frozen_mask=jnp.ones((R, meta.D)),
+            frozen_val=vals,
             kl_beta=jnp.zeros((R, meta.n_groups)),
             compressed=jnp.ones((R, meta.n_groups), bool),
             indices=idx,

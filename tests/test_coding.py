@@ -77,14 +77,15 @@ def test_init_codec_state(tiny_artifact):
     assert codec.h is None
     D = cfg.n_coded_params
     assert codec.w.D == D
-    assert state.w.q.loc.shape == (2, codec.w.Dpad)
-    # q initialized from prior in coded order
+    assert state.w.q.loc.shape == (2, D)  # physical (param-order) storage
+    np.testing.assert_allclose(np.asarray(state.w.q.loc[0]), art.w.p_loc, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.w.q.log_scale[0]), art.w.avg_log_scale, rtol=1e-6
+    )
+    # the coded view of the priors is the param2group reorder
     p2g = art.w.grouping.param2group
     np.testing.assert_allclose(
-        np.asarray(state.w.q.loc[0, :D]), art.w.p_loc[p2g], rtol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(state.w.q.log_scale[0, :D]), art.w.avg_log_scale[p2g], rtol=1e-6
+        np.asarray(codec.w.p_loc[:D]), art.w.p_loc[p2g], rtol=1e-6
     )
     assert not bool(np.asarray(state.w.compressed).any())
 
@@ -102,8 +103,12 @@ def test_encode_step_freezes_one_group_per_row(tiny_artifact):
     # betas zeroed for coded groups
     beta = np.asarray(s1.w.kl_beta)
     assert (beta[np.arange(2), chosen] == 0).all()
-    # frozen values match the codebook formula z = p_loc + p_scale * eps[idx]
+    # frozen values match the codebook formula z = p_loc + p_scale * eps[idx];
+    # storage is physical, so map coded window cells -> param columns
     meta = codec.w
+    p2g = np.asarray(meta.param2group)
+    fv = np.asarray(s1.w.frozen_val)
+    fm = np.asarray(s1.w.frozen_mask)
     for r in range(2):
         g = chosen[r]
         st_, en = int(meta.group_start[g]), int(meta.group_start[g] + meta.group_size[g])
@@ -111,10 +116,11 @@ def test_encode_step_freezes_one_group_per_row(tiny_artifact):
         z = np.asarray(meta.p_loc)[st_:en] + np.asarray(meta.p_scale)[st_:en] * np.asarray(
             meta.eps
         )[idx, : en - st_]
-        np.testing.assert_allclose(np.asarray(s1.w.frozen_val)[r, st_:en], z, rtol=1e-6)
-        assert (np.asarray(s1.w.frozen_mask)[r, st_:en] == 1).all()
-        # pad region beyond the group untouched
-        assert (np.asarray(s1.w.frozen_mask)[r, en : en + 3] == 0).all()
+        d_cols = p2g[st_:en]
+        np.testing.assert_allclose(fv[r, d_cols], z, rtol=1e-6)
+        assert (fm[r, d_cols] == 1).all()
+        # exactly group_size cells frozen in this row
+        assert fm[r].sum() == en - st_
 
 
 def test_encode_step_score_matches_bruteforce_oracle(tiny_artifact):
@@ -142,9 +148,11 @@ def test_encode_step_score_matches_bruteforce_oracle(tiny_artifact):
         eps = np.asarray(meta.eps, np.float64)[:, :size]
         p_loc = np.asarray(meta.p_loc, np.float64)[st_ : st_ + size]
         p_scale = np.asarray(meta.p_scale, np.float64)[st_ : st_ + size]
-        q_loc = np.asarray(state.w.q.loc, np.float64)[r, st_ : st_ + size]
+        # q storage is physical: window columns map through param2group
+        d_cols = np.asarray(meta.param2group)[st_ : st_ + size]
+        q_loc = np.asarray(state.w.q.loc, np.float64)[r, d_cols]
         q_scale = np.asarray(scale_transform(state.w.q.log_scale), np.float64)[
-            r, st_ : st_ + size
+            r, d_cols
         ]
         z = p_loc + p_scale * eps
         logp = (-0.5 * ((z - p_loc) / p_scale) ** 2 - np.log(p_scale)).sum(-1)
@@ -163,10 +171,12 @@ def test_decode_level_values_roundtrip(tiny_artifact):
         state = encode_step(codec, state, "w")
     assert bool(np.asarray(state.w.compressed).all())
     vals = np.asarray(decode_level_values(codec.w, state.w.indices))
-    frozen = np.asarray(state.w.frozen_val)[:, : codec.w.D]
+    # map coded values to physical layout for comparison with storage
+    frozen = np.asarray(state.w.frozen_val)
+    phys = vals[:, np.asarray(codec.w.group2param)]
     # agree to float32 rounding (XLA may fuse mul+add differently in the two
     # programs); bit-exactness is guaranteed decode-vs-decode, not enc-vs-dec
-    np.testing.assert_allclose(vals, frozen, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(phys, frozen, rtol=1e-6, atol=1e-7)
     vals2 = np.asarray(decode_level_values(codec.w, state.w.indices))
     np.testing.assert_array_equal(vals, vals2)  # decode is deterministic
 
