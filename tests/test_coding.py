@@ -237,3 +237,36 @@ def test_update_betas_direction():
     np.testing.assert_allclose(beta[under], 1 / 1.05, rtol=1e-6)
     mid = ~over & ~under
     np.testing.assert_allclose(beta[mid], 1.0, rtol=1e-6)
+
+
+def test_beta_factor_maps_match_coded_view():
+    """The physical-layout beta factor (beta_row, group_of_col) must equal
+    the coded-view factor beta[:, group_idx] moved cell-by-cell through the
+    coded<->physical map."""
+    cfg = TINY_PATCH
+    X, Y = synthetic_dataset(cfg, 2, seed=7)  # 8 rows
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y), max_bitrate=4.0,
+        n_em_iters=1, first_epochs=5, later_epochs=5, lr=2e-3,
+    )
+    art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg)
+    codec, state = init_codec(art, n_rows=8)
+    meta = codec.w
+    R, D = 8, meta.D
+    rng = np.random.default_rng(0)
+    beta = jnp.asarray(rng.uniform(size=(R, meta.n_groups)).astype(np.float32))
+
+    # physical-layout factor as used in beta_weighted_kl
+    factor_phys = np.asarray(beta[meta.beta_row, meta.group_of_col[None, :]])
+
+    # oracle: factor of coded cell (r', c) is beta[r', group_idx[c]], and
+    # coded cell (r', c) IS physical cell (perm_g2p[r', c], param2group[c])
+    oracle = np.zeros((R, D), np.float32)
+    g2p = np.asarray(meta.perm_g2p)
+    p2g_col = np.asarray(meta.param2group)
+    gidx = np.asarray(meta.group_idx)
+    bnp = np.asarray(beta)
+    for rp in range(R):
+        for c in range(D):
+            oracle[g2p[rp, c], p2g_col[c]] = bnp[rp, gidx[c]]
+    np.testing.assert_array_equal(factor_phys, oracle)
