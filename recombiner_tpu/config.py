@@ -10,7 +10,6 @@ behaviour is comparable; everything is CLI-overridable via ``dataclasses.replace
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Tuple, Union
 
 import numpy as np

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from recombiner_tpu.config import ModalityConfig
-from recombiner_tpu.models.upsample import apply_upsample
 
 
 def _upsample(x: jax.Array, cfg: ModalityConfig, params) -> jax.Array:

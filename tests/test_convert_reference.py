@@ -121,3 +121,17 @@ def test_encode_with_converted_artifact(reference_pickle):
     )
     dec = np.asarray(decode(codec, res.indices, jnp.asarray(X), TINY))
     np.testing.assert_array_equal(dec, res.reconstruction)
+
+
+def test_convert_cli(reference_pickle, tmp_path):
+    from recombiner_tpu.cli import convert
+    from recombiner_tpu.io.checkpoint import load_prior_artifact
+
+    path, _, _ = reference_pickle
+    out = str(tmp_path / "converted.npz")
+    convert.main(
+        ["--pickle", path, "--dataset", "tiny", "--reference_path", REF, "--out", out]
+    )
+    art = load_prior_artifact(out)
+    assert art.config.name == "tiny"
+    assert art.w.grouping.n_groups > 0
