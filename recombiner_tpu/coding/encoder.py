@@ -381,7 +381,10 @@ def _with_trainables(state: CodecState, qs) -> CodecState:
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_epochs", "lr", "sample_size", "kl_adjust_gap", "adjust_betas"),
+    static_argnames=(
+        "cfg", "n_epochs", "lr", "sample_size", "kl_adjust_gap", "adjust_betas",
+        "return_opt_state",
+    ),
     donate_argnums=(1,),
 )
 def optimize(
@@ -397,10 +400,14 @@ def optimize(
     sample_size: int = 5,
     kl_adjust_gap: int = 10,
     adjust_betas: bool = True,
+    opt_state=None,
+    return_opt_state: bool = False,
 ) -> CodecState:
     """MC-ELBO posterior optimization with in-scan beta annealing
-    (test_model.py:621-635). Fresh Adam, matching the reference's optimizer
-    re-init at every finetune (test_model.py:722,771,821)."""
+    (test_model.py:621-635). By default Adam starts fresh, matching the
+    reference's optimizer re-init at every finetune
+    (test_model.py:722,771,821); pass/return opt_state to split one long run
+    into chunks without perturbing the dynamics."""
     opt = optax.adam(lr)
 
     def loss_fn(qs, st: CodecState, k):
@@ -413,7 +420,8 @@ def optimize(
             kl += beta_weighted_kl(s.hh, codec.hh)
         return mse + kl
 
-    opt_state = opt.init(_trainables(state))
+    if opt_state is None:
+        opt_state = opt.init(_trainables(state))
 
     def epoch(carry, inputs):
         s, o = carry
@@ -436,7 +444,9 @@ def optimize(
 
     keys = jax.random.split(key, n_epochs)
     idxs = jnp.arange(n_epochs)
-    (state, _), _ = jax.lax.scan(epoch, (state, opt_state), (idxs, keys))
+    (state, opt_state), _ = jax.lax.scan(epoch, (state, opt_state), (idxs, keys))
+    if return_opt_state:
+        return state, opt_state
     return state
 
 

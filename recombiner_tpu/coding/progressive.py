@@ -99,12 +99,25 @@ def compress(
     if resuming and verbose:
         print("Resuming encode from restored state; skipping phase-1 optimization", flush=True)
 
-    key, sub = jax.random.split(key)
     if n_optimize_epochs > 0 and not resuming:
-        state = optimize(
-            codec, state, X, Y, sub,
-            cfg=cfg, n_epochs=n_optimize_epochs, lr=lr, sample_size=sample_size,
-        )
+        # chunk long optimizations: a single multi-minute XLA program trips
+        # device watchdogs (observed on v5e at ~13 min); 1000-epoch chunks
+        # cost one dispatch each and enable progress logging
+        chunk = 1000
+        done = 0
+        opt_state = None
+        while done < n_optimize_epochs:
+            n = min(chunk, n_optimize_epochs - done)
+            key, sub = jax.random.split(key)
+            state, opt_state = optimize(
+                codec, state, X, Y, sub,
+                cfg=cfg, n_epochs=n, lr=lr, sample_size=sample_size,
+                opt_state=opt_state, return_opt_state=True,
+            )
+            done += n
+            if verbose and done % 10000 == 0:
+                print(f"  optimize {done}/{n_optimize_epochs} epochs", flush=True)
+        del opt_state
         jax.block_until_ready(state.w.q.loc)
     timings["optimize_s"] = time.perf_counter() - t0
 
