@@ -142,9 +142,12 @@ def compress(
             state = encode_step(codec, state, level)
             if n_ft > 0:
                 key, sub = jax.random.split(key)
-                # betas stay fixed during finetune: frozen groups have beta=0,
-                # annealing mid-finetune would fight the freeze (the reference
-                # also continues annealing, but only every kl_adjust_gap).
+                # beta annealing CONTINUES during finetune (every
+                # kl_adjust_gap epochs, like the reference's
+                # update_annealing_factors call inside train,
+                # test_model.py:631-632); frozen groups keep beta=0 because
+                # update_betas skips compressed groups. Pinned by
+                # test_coding.py::test_finetune_annealing_continues.
                 state = optimize(
                     codec, state, X, Y, sub,
                     cfg=cfg, n_epochs=n_ft, lr=lr, sample_size=sample_size,

@@ -270,3 +270,34 @@ def test_beta_factor_maps_match_coded_view():
         for c in range(D):
             oracle[g2p[rp, c], p2g_col[c]] = bnp[rp, gidx[c]]
     np.testing.assert_array_equal(factor_phys, oracle)
+
+
+def test_finetune_annealing_continues(tiny_artifact):
+    """Pin the finetune behavior used by progressive.compress: beta annealing
+    CONTINUES during per-group finetunes (optimize's default
+    adjust_betas=True, firing every kl_adjust_gap epochs), exactly like the
+    reference's update_annealing_factors call inside its train loop
+    (test_model.py:631-632) — while frozen groups keep beta=0 untouched."""
+    cfg, art, X, Y = tiny_artifact
+    codec, state = init_codec(art, n_rows=2, initial_beta=1.0)
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+
+    # freeze one group per row, as compress() does before each finetune
+    state = encode_step(codec, state, "w")
+    frozen = np.asarray(state.w.compressed)
+    assert frozen.sum(axis=1).min() == 1
+    beta_before = np.asarray(state.w.kl_beta)
+    np.testing.assert_array_equal(beta_before[frozen], 0.0)
+
+    # a finetune spanning one annealing boundary, with compress()'s defaults
+    state = optimize(codec, state, Xj, Yj, jax.random.key(9), cfg=cfg,
+                     n_epochs=11, lr=2e-4, sample_size=2)
+    beta_after = np.asarray(state.w.kl_beta)
+
+    # frozen groups stay exactly at 0; unfrozen betas moved by the annealer
+    np.testing.assert_array_equal(beta_after[frozen], 0.0)
+    assert not np.allclose(beta_after[~frozen], beta_before[~frozen])
+    # every change is a power of the (1 +- 0.05) multiplicative step
+    ratio = beta_after[~frozen] / beta_before[~frozen]
+    steps = np.log(ratio) / np.log(1.05)
+    np.testing.assert_allclose(steps, np.round(steps), atol=1e-4)
