@@ -157,12 +157,21 @@ def _make_level_meta(
     if permute_rows:
         # cross-patch budget-mixing permutation, one per coded column
         # (test_model.py:182-208); regenerated deterministically at decode.
-        perm = np.empty((n_rows, D), np.int32)
-        inv = np.empty((n_rows, D), np.int32)
-        for c in range(D):
-            order = np.random.RandomState(c).choice(n_rows, n_rows, False)
-            perm[:, c] = order
-            inv[order, c] = np.arange(n_rows, dtype=np.int32)
+        # The native path avoids O(D) python RandomState instantiations
+        # (kodak-scale init_codec dropped from tens of seconds to ~ms);
+        # bit parity pinned in test_native.py.
+        from recombiner_tpu import native
+
+        pi = native.patch_permutations(n_rows, D)
+        if pi is not None:
+            perm, inv = pi
+        else:
+            perm = np.empty((n_rows, D), np.int32)
+            inv = np.empty((n_rows, D), np.int32)
+            for c in range(D):
+                order = np.random.RandomState(c).choice(n_rows, n_rows, False)
+                perm[:, c] = order
+                inv[order, c] = np.arange(n_rows, dtype=np.int32)
         # beta_row[r, d] = coded row owning physical cell (r, d)
         beta_row = inv[:, g.group2param]
 

@@ -63,6 +63,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.gumbel_chain.restype = None
         lib.gumbel_chain.argtypes = [ctypes.c_uint32, ctypes.c_int64, ctypes.c_void_p]
+        lib.patch_permutations.restype = None
+        lib.patch_permutations.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -102,6 +106,22 @@ def parse_pdb_ca(text: bytes, max_len: int = 96) -> Optional[tuple]:
     if n < 0:
         return None  # malformed floats: fall back to python
     return int(n), out
+
+
+def patch_permutations(n_rows: int, n_cols: int) -> Optional[tuple]:
+    """(perm, inv) each (n_rows, n_cols) int32: column c is the numpy stream
+    RandomState(c).choice(n_rows, n_rows, False); inv its inverse. None if
+    the native library is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    perm = np.empty((n_rows, n_cols), np.int32)
+    inv = np.empty((n_rows, n_cols), np.int32)
+    lib.patch_permutations(
+        n_rows, n_cols,
+        perm.ctypes.data_as(ctypes.c_void_p), inv.ctypes.data_as(ctypes.c_void_p),
+    )
+    return perm, inv
 
 
 def gumbel_chain(n: int, seed: int) -> Optional[np.ndarray]:

@@ -139,6 +139,41 @@ static double mt_double(MT* st) {
     return (a * 67108864.0 + b) / 9007199254740992.0;
 }
 
+// numpy's random_interval: uniform integer on [0, max] by masked rejection
+// sampling on 32-bit draws (max here always < 2^32).
+static uint32_t mt_interval(MT* st, uint32_t max) {
+    if (max == 0) return 0;
+    uint32_t mask = max;
+    mask |= mask >> 1; mask |= mask >> 2; mask |= mask >> 4;
+    mask |= mask >> 8; mask |= mask >> 16;
+    uint32_t value;
+    while ((value = (mt_next(st) & mask)) > max) {}
+    return value;
+}
+
+// Cross-patch budget-mixing permutations (format spec, test_model.py:182-208):
+// column c's patch order is RandomState(c).choice(n_rows, n_rows, False),
+// which numpy implements as permutation(n) = Fisher-Yates with
+// random_interval draws. Fills perm (n_rows x n_cols, row-major) with the
+// order and inv with its inverse (inv[order[r], c] = r).
+void patch_permutations(int64_t n_rows, int64_t n_cols, int32_t* perm, int32_t* inv) {
+    int32_t* tmp = (int32_t*)malloc(sizeof(int32_t) * (size_t)n_rows);
+    for (int64_t c = 0; c < n_cols; c++) {
+        MT st;
+        mt_seed(&st, (uint32_t)c);
+        for (int64_t i = 0; i < n_rows; i++) tmp[i] = (int32_t)i;
+        for (int64_t i = n_rows - 1; i > 0; i--) {
+            uint32_t j = mt_interval(&st, (uint32_t)i);
+            int32_t t = tmp[i]; tmp[i] = tmp[j]; tmp[j] = t;
+        }
+        for (int64_t r = 0; r < n_rows; r++) {
+            perm[r * n_cols + c] = tmp[r];
+            inv[(int64_t)tmp[r] * n_cols + c] = (int32_t)r;
+        }
+    }
+    free(tmp);
+}
+
 // b_i = -log(cumsum(-log U_i)) with U from RandomState(seed).rand
 void gumbel_chain(uint32_t seed, int64_t n, double* out) {
     MT st;

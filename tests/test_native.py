@@ -82,3 +82,20 @@ def test_parse_pdb_short_chain(lib):
     assert n == 1
     np.testing.assert_allclose(xyz[0], [1.0, 2.0, 3.0])
     assert (xyz[1:] == 0).all()
+
+
+def test_patch_permutations_bit_parity():
+    """Native permutation streams are bit-identical to the format spec:
+    column c = RandomState(c).choice(n, n, False) (test_model.py:186-190)."""
+    from recombiner_tpu import native
+
+    out = native.patch_permutations(37, 50)
+    assert out is not None, "native library must build in this image"
+    perm, inv = out
+    oracle = np.empty((37, 50), np.int32)
+    for c in range(50):
+        oracle[:, c] = np.random.RandomState(c).choice(37, 37, False)
+    np.testing.assert_array_equal(perm, oracle)
+    # inverse property
+    for c in range(50):
+        np.testing.assert_array_equal(inv[oracle[:, c], c], np.arange(37))
