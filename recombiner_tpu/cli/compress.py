@@ -19,6 +19,7 @@ from recombiner_tpu.coding.progressive import compress
 from recombiner_tpu.data.load_data import load_test_set
 from recombiner_tpu.io.bitstream import write_bitstream
 from recombiner_tpu.io.checkpoint import load_prior_artifact
+from recombiner_tpu.parallel.mesh import make_mesh, shard_rows
 
 
 def parse_args(argv=None):
@@ -37,6 +38,7 @@ def parse_args(argv=None):
     p.add_argument("--finetune_epochs", type=int, default=None, help="override per-group finetune epochs (default: reference schedule)")
     p.add_argument("--state_path", default=None, help="encode-state snapshot path: written every --save_every groups and resumed from if it exists")
     p.add_argument("--save_every", type=int, default=10)
+    p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
     return p.parse_args(argv)
 
 
@@ -57,6 +59,17 @@ def main(argv=None):
 
         state = load_encode_state(args.state_path)
         print(f"Resumed encode state from {args.state_path}", flush=True)
+
+    # data-parallel encode: posterior rows shard over the device mesh (same
+    # layout as cli/train.py); codebooks/mappings and the small hierarchical
+    # levels replicate. Single-device meshes place arrays as before.
+    mesh = make_mesh(args.n_devices)
+    X = shard_rows(jnp.asarray(X), mesh)
+    Y = shard_rows(jnp.asarray(Y), mesh)
+    codec = shard_rows(codec, mesh)
+    state = shard_rows(state, mesh)
+    if mesh.devices.size > 1:
+        print(f"Encoding on {mesh.devices.size} devices (rows sharded)", flush=True)
     print(
         f"Model initialized. Expected bitrate "
         f"{cfg.bitrate_of_groups(codec.w.n_groups, 0 if codec.h is None else codec.h.n_groups, 0 if codec.hh is None else codec.hh.n_groups):.3f}",
@@ -66,8 +79,8 @@ def main(argv=None):
     result = compress(
         codec,
         state,
-        jnp.asarray(X),
-        jnp.asarray(Y),
+        X,
+        Y,
         cfg,
         jax.random.key(args.seed),
         n_optimize_epochs=args.n_epochs,

@@ -16,6 +16,7 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from recombiner_tpu.config import ModalityConfig
@@ -130,6 +131,15 @@ def compress(
         )
 
     t1 = time.perf_counter()
+    # Multi-device: serialize the per-group dispatches. Concurrently-running
+    # compiled programs that both contain collectives can interleave their
+    # rendezvous across devices and deadlock on the CPU in-process
+    # communicator (observed at ~20-40 async group steps on the 8-virtual-
+    # device mesh); on TPU the per-group sync costs microseconds against the
+    # multi-second per-group finetune, so it is enabled whenever the state
+    # spans more than one device.
+    multi_device = len(state.w.q.loc.sharding.device_set) > 1
+
     # coarse-to-fine: hh -> h -> w (test_model.py:701-848)
     order = ("hh", "h", "w") if cfg.patch else ("w",)
     for level in order:
@@ -152,6 +162,8 @@ def compress(
                     codec, state, X, Y, sub,
                     cfg=cfg, n_epochs=n_ft, lr=lr, sample_size=sample_size,
                 )
+            if multi_device:
+                jax.block_until_ready(state.level(level).q.loc)
             if verbose and step_i in report_at:
                 d = distortion_of(codec, state, X, Y, cfg)
                 print(
@@ -172,8 +184,18 @@ def compress(
         name: np.asarray(state.level(name).indices) for name in codec.level_names
     }
     # final reconstruction through the REAL decoder path (indices only), so the
-    # reported distortion is exactly what a receiver would measure
-    y_pred = decode(codec, indices, X, cfg)
+    # reported distortion is exactly what a receiver would measure. A receiver
+    # decodes unsharded, and sharded layouts change f32 fusion order, so the
+    # canonical decode always runs on unsharded arrays regardless of the
+    # encode mesh (pinned by test_cli.py's encoder/decoder bit-equality).
+    if multi_device:
+        def _unshard(a):
+            return jnp.asarray(np.asarray(a)) if isinstance(a, jax.Array) else a
+
+        codec_u = jax.tree_util.tree_map(_unshard, codec)
+        y_pred = decode(codec_u, indices, _unshard(X), cfg)
+    else:
+        y_pred = decode(codec, indices, X, cfg)
     dist = metric(np.asarray(Y), np.asarray(y_pred), cfg.name)
     n_groups = {name: codec.meta(name).n_groups for name in codec.level_names}
     bitrate = cfg.bitrate_of_groups(
