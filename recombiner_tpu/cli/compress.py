@@ -19,6 +19,7 @@ from recombiner_tpu.coding.progressive import compress
 from recombiner_tpu.data.load_data import load_test_set
 from recombiner_tpu.io.bitstream import write_bitstream
 from recombiner_tpu.io.checkpoint import load_prior_artifact
+from recombiner_tpu.parallel.launch import is_primary, maybe_initialize_distributed
 from recombiner_tpu.parallel.mesh import make_mesh, shard_rows
 
 
@@ -44,6 +45,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     art = load_prior_artifact(args.prior_path)
     cfg = art.config
     if args.dataset is not None and args.dataset != cfg.name:
@@ -96,6 +98,8 @@ def main(argv=None):
         save_every=args.save_every,
     )
 
+    if not is_primary():  # multi-host: host 0 owns the outputs
+        return result
     os.makedirs(args.save_dir, exist_ok=True)
     dist = result.distortion
     if dist.ndim == 0:

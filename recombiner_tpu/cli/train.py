@@ -19,6 +19,7 @@ from recombiner_tpu.config import get_config
 from recombiner_tpu.data.load_data import load_training_set
 from recombiner_tpu.io.checkpoint import save_prior_artifact
 from recombiner_tpu.metrics import batch_psnr
+from recombiner_tpu.parallel.launch import is_primary, maybe_initialize_distributed
 from recombiner_tpu.parallel.mesh import make_mesh, shard_rows
 from recombiner_tpu.priors.artifact import build_prior_artifact
 from recombiner_tpu.priors.trainer import em_train, forward
@@ -48,6 +49,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     cfg = get_config(args.dataset)
 
     n_datapoints = (
@@ -70,6 +72,8 @@ def main(argv=None):
     t0 = time.perf_counter()
 
     def checkpoint_fn(em_iter, state, priors, kl_beta):
+        if not is_primary():  # multi-host: host 0 owns the artifact
+            return
         art = build_prior_artifact(state, priors, kl_beta, cfg, codebook_seed=args.seed)
         save_prior_artifact(ckpt_path, art)
 

@@ -174,3 +174,54 @@ def test_sharded_compress_matches_unsharded():
     assert len(loc.sharding.device_set) == 8, loc.sharding
     spec = loc.sharding.spec
     assert len(spec) >= 1 and spec[0] == DATA_AXIS, spec
+
+
+def test_multihost_scaffold_single_process_noop(monkeypatch):
+    """The DCN bootstrap (parallel/launch.py) is env-gated: disabled it
+    touches nothing; helpers report single-process; shard_rows_global is
+    device_put row sharding. Real DCN can't run here (single host) — this
+    pins the single-process contract the multi-host path falls back to."""
+    from recombiner_tpu.parallel import launch
+
+    monkeypatch.delenv("RECOMBINER_TPU_MULTIHOST", raising=False)
+    assert launch.multihost_enabled() is False
+    assert launch.maybe_initialize_distributed() is False
+    assert launch.process_count() == 1
+    assert launch.is_primary() is True
+
+    mesh = make_mesh()
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    g = launch.shard_rows_global(x, mesh)
+    np.testing.assert_array_equal(np.asarray(g), x)
+    assert g.sharding.spec[0] == DATA_AXIS
+    assert len(g.sharding.device_set) == 8
+
+
+def test_tp_weight_sharded_A_matches_unsharded():
+    """TP row (SURVEY §2.2): the shard_map-sharded latent @ A_l path computes
+    the same forward as the replicated einsum, with A actually distributed
+    column-wise over the model axis."""
+    from recombiner_tpu.models.inr import init_linear_transform, inr_forward
+    from recombiner_tpu.parallel.tp import (
+        MODEL_AXIS,
+        make_mesh_tp,
+        shard_A,
+        tp_inr_forward,
+    )
+
+    cfg = TINY
+    R, S, Pn = 2, 2, cfg.n_pixels
+    key = jax.random.key(0)
+    A = init_linear_transform(key, cfg.net_dims)
+    x = jax.random.normal(jax.random.key(1), (R, S, Pn, cfg.input_dim))
+    h_w = jax.random.normal(jax.random.key(2), (R, S, cfg.n_inr_params)) * 0.02
+
+    y_ref = inr_forward(x, h_w, A, cfg)
+
+    mesh = make_mesh_tp(2, 4)
+    A_tp = shard_A(A, mesh)
+    # A really is sharded: each matrix's columns split 4 ways
+    assert A_tp[0].sharding.spec == P(None, MODEL_AXIS)
+    assert len(A_tp[0].sharding.device_set) == 8
+    y_tp = tp_inr_forward(x, h_w, A_tp, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_tp), atol=1e-5)
