@@ -135,3 +135,65 @@ def test_convert_cli(reference_pickle, tmp_path):
     art = load_prior_artifact(out)
     assert art.config.name == "tiny"
     assert art.w.grouping.n_groups > 0
+
+
+def test_export_then_convert_round_trip(tmp_path):
+    """ours -> reference pickle -> ours again: the artifact survives the
+    round trip exactly, and the reference's own Upsample module built from
+    the exported pickle computes the same mapping as our upsampler."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from recombiner_tpu.config import TINY
+    from recombiner_tpu.data.synthetic import synthetic_dataset
+    from recombiner_tpu.io.convert_reference import convert_reference_checkpoint
+    from recombiner_tpu.io.export_reference import export_reference_checkpoint
+    from recombiner_tpu.models.upsample import apply_upsample
+    from recombiner_tpu.priors.artifact import build_prior_artifact
+    from recombiner_tpu.priors.trainer import em_train
+
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=9)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.asarray(X), jnp.asarray(Y), max_bitrate=6.0,
+        n_em_iters=1, first_epochs=5, later_epochs=5, lr=2e-3,
+    )
+    art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg)
+
+    path = str(tmp_path / "PRIOR_exported.pkl")
+    export_reference_checkpoint(art, path, reference_path=REF)
+    back = convert_reference_checkpoint(path, "tiny", reference_path=REF)
+
+    np.testing.assert_array_equal(back.w.p_loc, np.asarray(art.w.p_loc, np.float32))
+    np.testing.assert_array_equal(back.w.p_scale, np.asarray(art.w.p_scale, np.float32))
+    np.testing.assert_array_equal(
+        back.w.avg_log_scale, np.asarray(art.w.avg_log_scale, np.float32)
+    )
+    g0, g1 = art.w.grouping, back.w.grouping
+    assert g0.n_groups == g1.n_groups
+    np.testing.assert_array_equal(g0.param2group, g1.param2group)
+    np.testing.assert_array_equal(g0.group_idx, g1.group_idx)
+    for a0, a1 in zip(art.A, back.A):
+        np.testing.assert_array_equal(np.asarray(a0, np.float32), a1)
+
+    # the exported torch Upsample module agrees with our upsampler
+    with open(path, "rb") as f:
+        import pickle as pkl
+        import sys as _sys
+
+        _sys.path.insert(0, REF)
+        try:
+            for _ in range(7):
+                pkl.load(f)
+            up_torch = pkl.load(f)
+        finally:
+            _sys.path.remove(REF)
+    lpe = np.random.default_rng(1).normal(size=(1, 1, 1, 128)).astype(np.float32)
+    ours = np.asarray(apply_upsample(
+        jax.tree_util.tree_map(jnp.asarray, art.up), jnp.asarray(lpe), cfg.data_dim,
+        cfg.layerwise_scale_factors, cfg.paddings,
+    ))
+    with torch.no_grad():
+        theirs = up_torch(torch.from_numpy(lpe).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
