@@ -326,8 +326,53 @@ TINY_PATCH = _mk(
     bits_per_group=8,
 )
 
+# Tiny 1-D patched config: the audio topology class (data_dim=1, out=1,
+# 3-level hierarchy) at test scale.
+TINY_AUDIO = _mk(
+    "tiny_audio",
+    input_dim=32,
+    output_dim=1,
+    hidden_dims=(8, 8),
+    data_dim=1,
+    pixel_sizes=(64,),
+    patch=True,
+    patch_nums=(4,),
+    level2_patch_nums=(2,),
+    level3_patch_nums=(4,),
+    fourier_dim=16,
+    upsample_factors=(16,),
+    bitrate_range=0.3,
+    lowest_bitrate=0.1,
+    bits_per_group=8,
+)
+
+# Tiny 3-D patched config: the video topology class (data_dim=3, anisotropic
+# first-stage upsampling like video's (6,4,4), fourier_dim=18) at test scale.
+TINY_VIDEO = _mk(
+    "tiny_video",
+    input_dim=34,
+    output_dim=3,
+    hidden_dims=(8, 8),
+    data_dim=3,
+    pixel_sizes=(4, 8, 8),
+    patch=True,
+    patch_nums=(1, 2, 2),
+    level2_patch_nums=(1, 2, 1),
+    level3_patch_nums=(1, 2, 2),
+    fourier_dim=18,
+    layerwise_scale_factors=((1, 2, 2), 2, 2),
+    upsample_factors=(4, 8, 8),
+    bitrate_range=0.3,
+    lowest_bitrate=0.1,
+    bits_per_group=8,
+)
+
 CONFIGS = {
-    c.name: c for c in (CIFAR, KODAK, AUDIO, VIDEO, PROTEIN, TINY, TINY_PATCH)
+    c.name: c
+    for c in (
+        CIFAR, KODAK, AUDIO, VIDEO, PROTEIN,
+        TINY, TINY_PATCH, TINY_AUDIO, TINY_VIDEO,
+    )
 }
 
 

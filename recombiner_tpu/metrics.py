@@ -48,8 +48,10 @@ def metric(original: np.ndarray, compressed: np.ndarray, dataset: str):
         return psnr(original, compressed, round8=True)
     if dataset == "video":
         return psnr(original, compressed, round8=True)
-    if dataset == "audio":
+    if dataset in ("audio", "tiny_audio"):
         return psnr(original, compressed, round8=False)
+    if dataset == "tiny_video":
+        return psnr(original, compressed, round8=True)
     if dataset == "protein":
         return batch_rmsd(original, compressed, scale_factor=25.0)
     raise ValueError(dataset)

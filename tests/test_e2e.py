@@ -8,7 +8,7 @@ import pytest
 
 from recombiner_tpu.coding.encoder import decode, init_codec
 from recombiner_tpu.coding.progressive import compress
-from recombiner_tpu.config import TINY, TINY_PATCH
+from recombiner_tpu.config import TINY, TINY_AUDIO, TINY_PATCH, TINY_VIDEO
 from recombiner_tpu.data.synthetic import synthetic_dataset
 from recombiner_tpu.io.checkpoint import load_prior_artifact, save_prior_artifact
 from recombiner_tpu.metrics import batch_psnr
@@ -16,7 +16,11 @@ from recombiner_tpu.priors.artifact import build_prior_artifact
 from recombiner_tpu.priors.trainer import em_train
 
 
-@pytest.mark.parametrize("cfg", [TINY, TINY_PATCH], ids=["nonpatch", "patch"])
+@pytest.mark.parametrize(
+    "cfg",
+    [TINY, TINY_PATCH, TINY_AUDIO, TINY_VIDEO],
+    ids=["nonpatch", "patch", "audio1d", "video3d"],
+)
 def test_e2e_pipeline(cfg, tmp_path):
     n_train, n_test = 3, 2
     X, Y = synthetic_dataset(cfg, n_train, seed=10)
