@@ -134,3 +134,113 @@ def test_constants_parity():
             assert list(ours.patch_nums) == ref["patch_nums"]
             assert list(ours.level2_patch_nums) == ref["hierarchical_patch_nums"]["level2"]
             assert list(ours.level3_patch_nums) == ref["hierarchical_patch_nums"]["level3"]
+
+
+def test_prior_forward_and_kl_parity_identical_state():
+    """Integration-level middle layer: with IDENTICAL posterior state and
+    mappings, the reference PriorBNNmodel's forward (stitched patch-LPE
+    upsampling + 3-level hierarchical latents + INR) and unweighted KL must
+    match ours numerically. Posterior scales are driven to ~0 so the
+    reparameterized samples are deterministic (= loc) in both frameworks."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from recombiner_tpu.config import TINY_PATCH
+    from recombiner_tpu.data.synthetic import synthetic_dataset
+    from recombiner_tpu.models.gaussian import Gaussian
+    from recombiner_tpu.priors.trainer import (
+        forward,
+        init_prior_state,
+        init_priors,
+        total_kl,
+    )
+
+    sys.path.insert(0, REF)
+    try:
+        from prior_model import LinearTransform, PriorBNNmodel, Upsample
+    finally:
+        sys.path.remove(REF)
+
+    cfg = TINY_PATCH
+    R = 8  # 2 datapoints x 4 patches; h rows 4, hh rows 2
+    X, _ = synthetic_dataset(cfg, 2, seed=21)
+
+    state = init_prior_state(jax.random.key(0), cfg, R)
+    rng = np.random.default_rng(3)
+    D = cfg.n_inr_params
+
+    def det(shape, scale=0.05):
+        return rng.normal(0, scale, shape).astype(np.float32)
+
+    NEG = -40.0  # softplus(-40)/6 ~ 4e-19: the sample IS the loc
+    w_loc = det((R, D))
+    h_loc = det((4, D))
+    hh_loc = det((2, D))
+    lpe_loc = det((R, *cfg.lpe_spatial, cfg.latent_dim), 0.1)
+    state = state.replace(
+        w=Gaussian(jnp.asarray(w_loc), jnp.full((R, D), NEG)),
+        h=Gaussian(jnp.asarray(h_loc), jnp.full((4, D), NEG)),
+        hh=Gaussian(jnp.asarray(hh_loc), jnp.full((2, D), NEG)),
+        lpe=Gaussian(jnp.asarray(lpe_loc), jnp.full(lpe_loc.shape, NEG)),
+    )
+
+    # reference model with the SAME posteriors and mappings
+    torch.manual_seed(0)
+    ref = PriorBNNmodel(
+        in_dim=32, hidden_dims=[8, 8], out_dim=3, train_size=R, data_dim=2,
+        pixel_sizes=[16, 16], upsample_factors=[16, 16], latent_dim=128,
+        patch=True, patch_nums=[2, 2],
+        hierarchical_patch_nums={"level2": [2, 1], "level3": [2, 2]},
+        device="cpu",
+    )
+    with torch.no_grad():
+        ref.loc.data = torch.from_numpy(w_loc)
+        ref.h_loc.data = torch.from_numpy(h_loc)
+        ref.hh_loc.data = torch.from_numpy(hh_loc)
+        ref.lpe_loc.data = torch.from_numpy(lpe_loc)
+        for p in (ref.log_scale, ref.h_log_scale, ref.hh_log_scale, ref.lpe_log_scale):
+            p.data = torch.full_like(p.data, NEG)
+
+    lt = LinearTransform(ref.dims)
+    up = Upsample(2, [2, 1, 1], [4, 2, 2])
+    with torch.no_grad():
+        for i, a in enumerate(state.A):
+            lt.A[i].data = torch.from_numpy(np.asarray(a))
+        for i in range(3):
+            conv = getattr(up, f"conv{i + 1}")
+            w = np.asarray(state.up[f"conv{i}"]["w"])
+            k_axes = list(range(w.ndim - 2))
+            conv.weight.data = torch.from_numpy(
+                np.transpose(w, [w.ndim - 1, w.ndim - 2] + k_axes).copy()
+            )
+            conv.bias.data = torch.from_numpy(np.asarray(state.up[f"conv{i}"]["b"]))
+
+    # ---- forward parity (deterministic because scales ~ 0)
+    y_ours = np.asarray(forward(state, jnp.asarray(X), jax.random.key(5), cfg, 1)[:, 0])
+    with torch.no_grad():
+        y_ref = ref.forward(torch.from_numpy(X), lt, up).numpy()
+    np.testing.assert_allclose(y_ours, y_ref, atol=2e-4)
+
+    # ---- unweighted KL parity on realistic scales
+    state2 = state.replace(
+        w=state.w.replace(log_scale=jnp.full((R, D), -4.0)),
+        h=state.h.replace(log_scale=jnp.full((4, D), -4.0)),
+        hh=state.hh.replace(log_scale=jnp.full((2, D), -4.0)),
+        lpe=state.lpe.replace(log_scale=jnp.full(lpe_loc.shape, -4.0)),
+    )
+    with torch.no_grad():
+        for p in (ref.log_scale, ref.h_log_scale, ref.hh_log_scale, ref.lpe_log_scale):
+            p.data = torch.full_like(p.data, -4.0)
+    priors = init_priors(cfg)
+    s0 = float(torch.nn.functional.softplus(torch.tensor(-2.0)) / 6)
+    with torch.no_grad():
+        kl_ref = float(ref.calculate_kl(
+            torch.zeros(D), torch.full((D,), s0),
+            torch.zeros(lpe_loc.shape[1:]), torch.full(lpe_loc.shape[1:], s0),
+            torch.zeros(D), torch.full((D,), s0),
+            torch.zeros(D), torch.full((D,), s0),
+        ))
+    kl_ours = float(total_kl(state2, priors))
+    np.testing.assert_allclose(kl_ours, kl_ref, rtol=1e-5)
