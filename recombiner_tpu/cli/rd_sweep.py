@@ -23,6 +23,8 @@ from recombiner_tpu.coding.progressive import compress
 from recombiner_tpu.config import get_config
 from recombiner_tpu.data.load_data import load_test_set, load_training_set
 from recombiner_tpu.data.synthetic import synthetic_dataset
+from recombiner_tpu.parallel.launch import maybe_initialize_distributed
+from recombiner_tpu.parallel.mesh import make_mesh, shard_rows
 from recombiner_tpu.priors.artifact import build_prior_artifact
 from recombiner_tpu.priors.trainer import em_train
 
@@ -45,11 +47,13 @@ def parse_args(argv=None):
     p.add_argument("--sample_size", type=int, default=5)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--out", default="rd_curve.json")
+    p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     cfg = get_config(args.dataset)
 
     if args.synthetic:
@@ -60,11 +64,19 @@ def main(argv=None):
         Xtr, Ytr = load_training_set(args.train_dir, cfg, args.seed, n)
         Xte, Yte = load_test_set(args.test_dir, args.test_idx, cfg)
 
+    # data-parallel: training and encode rows shard over the device mesh
+    # (same layout as cli/train.py and cli/compress.py)
+    mesh = make_mesh(args.n_devices)
+    Xtr_s = shard_rows(jnp.asarray(Xtr), mesh)
+    Ytr_s = shard_rows(jnp.asarray(Ytr), mesh)
+    Xte_s = shard_rows(jnp.asarray(Xte), mesh)
+    Yte_s = shard_rows(jnp.asarray(Yte), mesh)
+
     points = []
     for max_bitrate in args.bitrates:
         print(f"=== bitrate target {max_bitrate} ===", flush=True)
         res = em_train(
-            jax.random.key(args.seed), cfg, jnp.asarray(Xtr), jnp.asarray(Ytr),
+            jax.random.key(args.seed), cfg, Xtr_s, Ytr_s,
             max_bitrate=max_bitrate, n_em_iters=args.n_em_iters,
             first_epochs=args.first_epochs, later_epochs=args.later_epochs,
             lr=args.lr,
@@ -72,8 +84,10 @@ def main(argv=None):
         art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
                                    codebook_seed=args.seed)
         codec, state = init_codec(art, n_rows=Xte.shape[0])
+        codec = shard_rows(codec, mesh)
+        state = shard_rows(state, mesh)
         enc = compress(
-            codec, state, jnp.asarray(Xte), jnp.asarray(Yte), cfg,
+            codec, state, Xte_s, Yte_s, cfg,
             jax.random.key(args.seed + 1),
             n_optimize_epochs=args.n_encode_epochs, lr=args.lr,
             sample_size=args.sample_size,

@@ -197,3 +197,26 @@ def test_export_then_convert_round_trip(tmp_path):
     with torch.no_grad():
         theirs = up_torch(torch.from_numpy(lpe).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_convert_cli_export_direction(reference_pickle, tmp_path):
+    """CLI round trip through BOTH directions: pickle -> npz -> pickle -> npz
+    preserves the artifact."""
+    from recombiner_tpu.cli import convert
+    from recombiner_tpu.io.checkpoint import load_prior_artifact
+
+    path, _, _ = reference_pickle
+    npz1 = str(tmp_path / "a.npz")
+    convert.main(["--pickle", path, "--dataset", "tiny", "--reference_path", REF, "--out", npz1])
+    pkl2 = str(tmp_path / "b.pkl")
+    convert.main(["--to_reference", "--artifact", npz1, "--reference_path", REF, "--out", pkl2])
+    npz2 = str(tmp_path / "c.npz")
+    convert.main(["--pickle", pkl2, "--dataset", "tiny", "--reference_path", REF, "--out", npz2])
+
+    a1 = load_prior_artifact(npz1)
+    a2 = load_prior_artifact(npz2)
+    np.testing.assert_array_equal(a1.w.p_loc, a2.w.p_loc)
+    np.testing.assert_array_equal(a1.w.p_scale, a2.w.p_scale)
+    np.testing.assert_array_equal(a1.w.grouping.param2group, a2.w.grouping.param2group)
+    for x, y in zip(a1.A, a2.A):
+        np.testing.assert_array_equal(x, y)
