@@ -30,6 +30,8 @@ from recombiner_tpu.coding.encoder import (
     predict,
 )
 from recombiner_tpu.metrics import metric
+from recombiner_tpu.parallel.launch import fetch_global
+from recombiner_tpu.utils.timing import sync
 
 
 @dataclasses.dataclass
@@ -46,15 +48,15 @@ def distortion_of(
     codec: Codec, state: CodecState, X: jax.Array, Y: jax.Array, cfg: ModalityConfig
 ):
     y_pred = predict(codec, state, X, jax.random.key(0), cfg, sample_size=1)[:, 0]
-    return metric(np.asarray(Y), np.asarray(y_pred), cfg.name)
+    return metric(fetch_global(Y), fetch_global(y_pred), cfg.name)
 
 
 def kl_bits_summary(codec: Codec, state: CodecState) -> Dict[str, float]:
     out = {}
     for name in codec.level_names:
         ls = state.level(name)
-        bits = np.asarray(group_kl(ls, codec.meta(name))) / np.log(2.0)
-        mask = ~np.asarray(ls.compressed)
+        bits = fetch_global(group_kl(ls, codec.meta(name))) / np.log(2.0)
+        mask = ~fetch_global(ls.compressed)
         if mask.any():
             out[f"{name}_max_bits"] = float(bits[mask].max())
             out[f"{name}_ave_bits"] = float(bits[mask].mean())
@@ -95,7 +97,7 @@ def compress(
 
     # resuming a restored mid-encode state: phase-1 optimization already ran
     resuming = any(
-        bool(np.asarray(state.level(n).compressed).any()) for n in codec.level_names
+        bool(fetch_global(state.level(n).compressed).any()) for n in codec.level_names
     )
     if resuming and verbose:
         print("Resuming encode from restored state; skipping phase-1 optimization", flush=True)
@@ -119,7 +121,7 @@ def compress(
             if verbose and done % 10000 == 0:
                 print(f"  optimize {done}/{n_optimize_epochs} epochs", flush=True)
         del opt_state
-        jax.block_until_ready(state.w.q.loc)
+        sync(state.w.q.loc)  # true sync: timings must not lie on the tunnel
     timings["optimize_s"] = time.perf_counter() - t0
 
     if verbose:
@@ -147,7 +149,7 @@ def compress(
         n_ft = (finetune_overrides or {}).get(level, finetune_epochs(cfg, meta.n_groups, level))
         report_at = set(np.linspace(0, meta.n_groups - 1, 10).astype(int).tolist())
         # resume support: groups already coded (restored state) are skipped
-        already = int(np.asarray(state.level(level).compressed).sum(axis=1).max())
+        already = int(fetch_global(state.level(level).compressed).sum(axis=1).max())
         for step_i in range(already, meta.n_groups):
             state = encode_step(codec, state, level)
             if n_ft > 0:
@@ -163,7 +165,11 @@ def compress(
                     cfg=cfg, n_epochs=n_ft, lr=lr, sample_size=sample_size,
                 )
             if multi_device:
-                jax.block_until_ready(state.level(level).q.loc)
+                # utils.timing.sync (device_get), NOT block_until_ready: the
+                # latter does not synchronize on this image's axon TPU
+                # tunnel (CLAUDE.md), which would make the barrier a no-op
+                # exactly where it matters
+                sync(state.level(level).q.loc)
             if verbose and step_i in report_at:
                 d = distortion_of(codec, state, X, Y, cfg)
                 print(
@@ -177,11 +183,11 @@ def compress(
                 from recombiner_tpu.io.encode_state import save_encode_state
 
                 save_encode_state(state_path, state, extra={"level": level, "step": step_i})
-    jax.block_until_ready(state.w.indices)
+    sync(state.w.indices)  # true sync: timings must not lie on the tunnel
     timings["code_s"] = time.perf_counter() - t1
 
     indices = {
-        name: np.asarray(state.level(name).indices) for name in codec.level_names
+        name: fetch_global(state.level(name).indices) for name in codec.level_names
     }
     # final reconstruction through the REAL decoder path (indices only), so the
     # reported distortion is exactly what a receiver would measure. A receiver
@@ -190,13 +196,13 @@ def compress(
     # encode mesh (pinned by test_cli.py's encoder/decoder bit-equality).
     if multi_device:
         def _unshard(a):
-            return jnp.asarray(np.asarray(a)) if isinstance(a, jax.Array) else a
+            return jnp.asarray(fetch_global(a)) if isinstance(a, jax.Array) else a
 
         codec_u = jax.tree_util.tree_map(_unshard, codec)
         y_pred = decode(codec_u, indices, _unshard(X), cfg)
     else:
         y_pred = decode(codec, indices, X, cfg)
-    dist = metric(np.asarray(Y), np.asarray(y_pred), cfg.name)
+    dist = metric(fetch_global(Y), np.asarray(y_pred), cfg.name)
     n_groups = {name: codec.meta(name).n_groups for name in codec.level_names}
     bitrate = cfg.bitrate_of_groups(
         n_groups["w"], n_groups.get("h", 0), n_groups.get("hh", 0)

@@ -80,9 +80,10 @@ def export_reference_checkpoint(
         for i, a in enumerate(artifact.A):
             lt.A[i].data = torch.from_numpy(np.asarray(a, np.float32))
 
-    # reference Upsample(data_dim, scale_factors, paddings) builds convNd
-    # 128->64 (k5), 64->32 (k3), 32->16 (k3) (prior_model.py:23-59); our conv
-    # params are channel-last (*k, in, out)
+    # reference signature: Upsample(kernel_dim, paddings,
+    # layerwise_scale_factors) — convNd 128->64 (k5), 64->64 (k3), 64->16
+    # (k3) (prior_model.py:23-45); our conv params are channel-last
+    # (*k, in, out)
     up = Upsample(cfg.data_dim, list(cfg.paddings), list(cfg.layerwise_scale_factors))
     with torch.no_grad():
         for i in range(3):

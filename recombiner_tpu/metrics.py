@@ -44,14 +44,10 @@ def metric(original: np.ndarray, compressed: np.ndarray, dataset: str):
     arrays; kodak/video/audio a scalar."""
     if dataset in ("cifar", "tiny", "tiny_patch"):
         return batch_psnr(original, compressed, round8=True)
-    if dataset == "kodak":
-        return psnr(original, compressed, round8=True)
-    if dataset == "video":
+    if dataset in ("kodak", "video", "tiny_video"):
         return psnr(original, compressed, round8=True)
     if dataset in ("audio", "tiny_audio"):
         return psnr(original, compressed, round8=False)
-    if dataset == "tiny_video":
-        return psnr(original, compressed, round8=True)
     if dataset == "protein":
         return batch_rmsd(original, compressed, scale_factor=25.0)
     raise ValueError(dataset)

@@ -128,6 +128,11 @@ def _pick_tiles(B: int, P: int, tile_b: int, tile_p: int) -> Tuple[int, int]:
         tile_b //= 2
     while tile_p > 8 and P % tile_p != 0:
         tile_p //= 2
+    if P % tile_p != 0:
+        # the grid must cover every pixel — an under-covering grid silently
+        # leaves uninitialized output. tile_p == P is always legal for Mosaic
+        # (block dim equal to the array dim).
+        tile_p = P
     return tile_b, tile_p
 
 

@@ -81,6 +81,24 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def fetch_global(x) -> "np.ndarray":
+    """Host copy of a possibly row-sharded global array, multi-host safe.
+
+    Single-process this is np.asarray. In a multi-process run a row-sharded
+    global jax.Array spans non-addressable devices and np.asarray raises —
+    process_allgather assembles the full value on every host instead. Used
+    by the encode loop's host-side reads (indices, distortion) and the
+    artifact builder so the CLIs work under parallel/launch.py's recipe.
+    """
+    if isinstance(x, jax.Array) and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True)
+        )
+    return np.asarray(x)
+
+
 def shard_rows_global(x, mesh, spec: Optional[object] = None):
     """Multi-host-safe variant of mesh.shard_rows for HOST-LOCAL data.
 

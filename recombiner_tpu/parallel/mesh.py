@@ -22,6 +22,11 @@ PIXEL_AXIS = "pixels"
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"--n_devices {n_devices} requested but only {len(devices)} "
+                f"devices are visible"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
 

@@ -7,6 +7,7 @@ order.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from recombiner_tpu.config import ModalityConfig
@@ -23,6 +24,12 @@ def build_prior_artifact(
     cfg: ModalityConfig,
     codebook_seed: int = 42,
 ) -> PriorArtifact:
+    # multi-host safe: assemble row-sharded posteriors on every host first
+    # (np.asarray raises on non-addressable global arrays)
+    from recombiner_tpu.parallel.launch import fetch_global
+
+    state = jax.tree_util.tree_map(fetch_global, state)
+    priors = jax.tree_util.tree_map(fetch_global, priors)
     R = state.w.loc.shape[0]
 
     # ---- level 1: INR weight latents + flattened LPE, jointly grouped

@@ -79,3 +79,20 @@ def test_fused_tile_fallback_shapes():
     g_fus = jax.grad(f_fus)(h_w)
     # two-tile dW accumulation reorders f32 sums vs the single einsum
     np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_fus), rtol=1e-5, atol=5e-8)
+
+
+def test_fused_odd_pixel_count_full_coverage():
+    """P not divisible by 8 must fall back to a full-P tile, never an
+    under-covering grid (which silently leaves uninitialized output)."""
+    import dataclasses
+
+    from recombiner_tpu.config import TINY
+
+    cfg = dataclasses.replace(TINY, pixel_sizes=(3, 4))  # P = 12
+    A = [jnp.asarray(a) for a in init_linear_transform(jax.random.key(2), cfg.net_dims)]
+    h_w = jax.random.normal(jax.random.key(4), (2, 1, cfg.n_inr_params)) * 0.05
+    x = jax.random.normal(jax.random.key(6), (2, 1, 12, cfg.input_dim))
+    y_ref = inr_forward(x, h_w, A, cfg)
+    y_fus = inr_forward_fused(x, h_w, A, cfg, interpret=True)
+    assert np.isfinite(np.asarray(y_fus)).all()
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_fus))
