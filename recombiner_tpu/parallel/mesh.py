@@ -57,8 +57,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _place(x, sharding) -> jax.Array:
+    """device_put single-process; multi-process, build the global array from
+    per-shard callbacks (device_put cannot target non-addressable devices).
+    Assumes every process holds the full host value — true for everything
+    this framework places (data loaded per host, codec/state built
+    deterministically from the shared artifact)."""
+    if jax.process_count() > 1:
+        xv = np.asarray(x)
+        return jax.make_array_from_callback(xv.shape, sharding, lambda idx: xv[idx])
+    return jax.device_put(x, sharding)
+
+
 def shard_rows(tree: Any, mesh: Mesh) -> Any:
-    """device_put every array leaf: shard the leading axis over the data mesh
+    """Place every array leaf: shard the leading axis over the data mesh
     when divisible, replicate otherwise (e.g. tiny level-3 posteriors, priors,
     shared mappings)."""
     n = mesh.devices.size
@@ -67,12 +79,12 @@ def shard_rows(tree: Any, mesh: Mesh) -> Any:
 
     def place(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
-            return jax.device_put(x, rs)
-        return jax.device_put(x, rep)
+            return _place(x, rs)
+        return _place(x, rep)
 
     return jax.tree_util.tree_map(place, tree)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     rep = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree_util.tree_map(lambda x: _place(x, rep), tree)
