@@ -194,6 +194,21 @@ def main() -> None:
     predicted_wall = red_epochs * epoch_s + n_groups * step_s
     host_factor = measured_wall / predicted_wall
 
+    # -------- 5. receiver-side decode throughput (serving path)
+    from recombiner_tpu.coding.encoder import decode
+
+    fake_indices = {"w": rng.integers(0, 2**cfg.bits_per_group,
+                                      (N_IMAGES, n_groups)).astype(np.int32)}
+    y = decode(codec, fake_indices, Xj, cfg)
+    y = decode(codec, fake_indices, Xj, cfg)
+    sync(y)
+    t0 = time.perf_counter()
+    n_dec = 10
+    for _ in range(n_dec):
+        y = decode(codec, fake_indices, Xj, cfg)
+    sync(y)
+    decode_dp_s = N_IMAGES / ((time.perf_counter() - t0) / n_dec)
+
     # -------- headline: full reference schedule, host overhead applied
     total_epochs = full_schedule_epochs(n_groups)
     total_s = (total_epochs * epoch_s + n_groups * step_s) * host_factor
@@ -226,6 +241,7 @@ def main() -> None:
                     "prior_epoch_s": round(prior_epoch_s, 5),
                     "prior_training_steps_per_sec": round(1.0 / prior_epoch_s, 2),
                     "code_step_s": round(step_s, 5),
+                    "decode_datapoints_per_sec": round(decode_dp_s, 1),
                     "n_groups": n_groups,
                     "reduced_compress_wall_cold_s": round(cold_wall, 2),
                     "reduced_compress_wall_warm_s": round(measured_wall, 2),

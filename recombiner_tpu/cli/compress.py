@@ -40,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--state_path", default=None, help="encode-state snapshot path: written every --save_every groups and resumed from if it exists")
     p.add_argument("--save_every", type=int, default=10)
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the ELBO forward in backward (fits kodak/video-scale encodes in HBM for ~1.3x epoch cost)")
     return p.parse_args(argv)
 
 
@@ -96,6 +98,7 @@ def main(argv=None):
         verbose=True,
         state_path=args.state_path,
         save_every=args.save_every,
+        remat=args.remat,
     )
 
     if not is_primary():  # multi-host: host 0 owns the outputs

@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--out", default="rd_curve.json")
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
+    p.add_argument("--n_test", type=int, default=None,
+                   help="with --synthetic: number of synthetic test datapoints (default: synthetic//2)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the encode forward (memory for compute)")
     return p.parse_args(argv)
 
 
@@ -58,7 +62,8 @@ def main(argv=None):
 
     if args.synthetic:
         Xtr, Ytr = synthetic_dataset(cfg, args.synthetic, seed=args.seed)
-        Xte, Yte = synthetic_dataset(cfg, max(args.synthetic // 2, 1), seed=args.seed + 1)
+        n_te = args.n_test if args.n_test is not None else max(args.synthetic // 2, 1)
+        Xte, Yte = synthetic_dataset(cfg, n_te, seed=args.seed + 1)
     else:
         n = args.train_size // cfg.patches_per_datapoint if cfg.patch else args.train_size
         Xtr, Ytr = load_training_set(args.train_dir, cfg, args.seed, n)
@@ -96,6 +101,7 @@ def main(argv=None):
                 else {k: args.finetune_epochs for k in ("w", "h", "hh")}
             ),
             verbose=True,
+            remat=args.remat,
         )
         point = {
             "target_bitrate": max_bitrate,

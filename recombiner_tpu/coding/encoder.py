@@ -392,7 +392,7 @@ def _with_trainables(state: CodecState, qs) -> CodecState:
     jax.jit,
     static_argnames=(
         "cfg", "n_epochs", "lr", "sample_size", "kl_adjust_gap", "adjust_betas",
-        "return_opt_state",
+        "return_opt_state", "remat",
     ),
     donate_argnums=(1,),
 )
@@ -411,12 +411,18 @@ def optimize(
     adjust_betas: bool = True,
     opt_state=None,
     return_opt_state: bool = False,
+    remat: bool = False,
 ) -> CodecState:
     """MC-ELBO posterior optimization with in-scan beta annealing
     (test_model.py:621-635). By default Adam starts fresh, matching the
     reference's optimizer re-init at every finetune
     (test_model.py:722,771,821); pass/return opt_state to split one long run
-    into chunks without perturbing the dynamics."""
+    into chunks without perturbing the dynamics.
+
+    remat=True rematerializes the ELBO forward in the backward pass
+    (jax.checkpoint): cuts the stored activation chain — the dominant HBM
+    allocation at kodak/video encode scale, where S=5 over thousands of
+    pixels per row OOMs a 16 GB chip — for ~1.3x epoch compute."""
     opt = optax.adam(lr)
 
     def loss_fn(qs, st: CodecState, k):
@@ -428,6 +434,9 @@ def optimize(
             kl += beta_weighted_kl(s.h, codec.h)
             kl += beta_weighted_kl(s.hh, codec.hh)
         return mse + kl
+
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn, static_argnums=())
 
     if opt_state is None:
         opt_state = opt.init(_trainables(state))

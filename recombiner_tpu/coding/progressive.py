@@ -86,6 +86,7 @@ def compress(
     log_fn: Optional[Callable] = None,
     state_path: Optional[str] = None,
     save_every: int = 10,
+    remat: bool = False,
 ) -> EncodeResult:
     """Full encode: posterior optimization + progressive coding of all levels."""
     timings = {}
@@ -115,7 +116,7 @@ def compress(
             state, opt_state = optimize(
                 codec, state, X, Y, sub,
                 cfg=cfg, n_epochs=n, lr=lr, sample_size=sample_size,
-                opt_state=opt_state, return_opt_state=True,
+                opt_state=opt_state, return_opt_state=True, remat=remat,
             )
             done += n
             if verbose and done % 10000 == 0:
@@ -163,6 +164,7 @@ def compress(
                 state = optimize(
                     codec, state, X, Y, sub,
                     cfg=cfg, n_epochs=n_ft, lr=lr, sample_size=sample_size,
+                    remat=remat,
                 )
             if multi_device:
                 # utils.timing.sync (device_get), NOT block_until_ready: the

@@ -301,3 +301,21 @@ def test_finetune_annealing_continues(tiny_artifact):
     ratio = beta_after[~frozen] / beta_before[~frozen]
     steps = np.log(ratio) / np.log(1.05)
     np.testing.assert_allclose(steps, np.round(steps), atol=1e-4)
+
+
+def test_optimize_remat_matches(tiny_artifact):
+    """remat=True changes memory, not math: the rematerialized epoch produces
+    the same posteriors as the stored-activation path (f32 tolerance)."""
+    cfg, art, X, Y = tiny_artifact
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+
+    def run(remat):
+        codec, state = init_codec(art, n_rows=2)
+        return optimize(codec, state, Xj, Yj, jax.random.key(4), cfg=cfg,
+                        n_epochs=20, lr=2e-3, sample_size=2, remat=remat)
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(
+        np.asarray(a.w.q.loc), np.asarray(b.w.q.loc), rtol=1e-5, atol=1e-6
+    )
