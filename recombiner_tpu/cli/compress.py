@@ -74,6 +74,15 @@ def main(argv=None):
     state = shard_rows(state, mesh)
     if mesh.devices.size > 1:
         print(f"Encoding on {mesh.devices.size} devices (rows sharded)", flush=True)
+    # rough stored-activation estimate for the S-sample ELBO backward: the
+    # full chain is ~7 arrays of (rows*S, pixels, 32) f32 per device. A
+    # kodak-scale encode (384 rows) exceeded a 16 GB chip this way.
+    est_gb = 7 * (n_rows * args.sample_size / mesh.devices.size) \
+        * cfg.n_pixels * 32 * 4 / 1e9
+    if est_gb > 8.0 and not args.remat:
+        print(f"WARNING: ~{est_gb:.1f} GB of stored activations per device; "
+              "consider --remat (recompute-in-backward) to avoid HBM OOM",
+              flush=True)
     print(
         f"Model initialized. Expected bitrate "
         f"{cfg.bitrate_of_groups(codec.w.n_groups, 0 if codec.h is None else codec.h.n_groups, 0 if codec.hh is None else codec.hh.n_groups):.3f}",
