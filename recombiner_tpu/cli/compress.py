@@ -58,7 +58,9 @@ def main(argv=None):
     X, Y = load_test_set(args.test_dir, args.test_idx, cfg)
     n_rows = X.shape[0]
     codec, state = init_codec(art, n_rows)
-    if args.state_path and os.path.exists(args.state_path):
+    if args.state_path and (
+        os.path.exists(args.state_path) or os.path.exists(args.state_path + ".npz")
+    ):  # np.savez appends .npz to suffix-less paths
         from recombiner_tpu.io.encode_state import load_encode_state
 
         state = load_encode_state(args.state_path)
@@ -138,6 +140,7 @@ def main(argv=None):
             result.indices,
             config_name=cfg.name,
             codebook_seed=art.codebook_seed,
+            codebook_kind=getattr(art, "codebook_kind", "threefry"),
             bits_per_group=cfg.bits_per_group,
             extra={"test_idx": args.test_idx},
         )

@@ -42,9 +42,10 @@ def main(argv=None):
         )
     if header["codebook_seed"] != art.codebook_seed:
         raise SystemExit("bitstream/prior codebook seed mismatch")
+    kind = header.get("codebook_kind", "threefry")
 
     n_rows = indices["w"].shape[0]
-    codec, _ = init_codec(art, n_rows)
+    codec, _ = init_codec(art, n_rows, codebook_kind=kind)
     feats = grid_fourier_features(cfg.pixel_sizes, cfg.fourier_dim)
     X = jnp.broadcast_to(jnp.asarray(feats), (n_rows, *feats.shape))
     y = np.asarray(decode(codec, indices, X, cfg))

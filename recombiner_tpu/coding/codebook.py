@@ -30,11 +30,6 @@ import numpy as np
 LEVEL_TAGS = {"w": 0, "h": 1, "hh": 2}
 
 
-@partial(jax.jit, static_argnames=("n_samples", "width", "impl"))
-def _threefry_codebook(key: jax.Array, n_samples: int, width: int, impl: str = "threefry2x32"):
-    return jax.random.normal(key, (n_samples, width), jnp.float32)
-
-
 def make_codebook(
     seed: int,
     level: str,
@@ -46,7 +41,7 @@ def make_codebook(
     if kind == "threefry":
         key = jax.random.key(seed, impl="threefry2x32")
         key = jax.random.fold_in(key, LEVEL_TAGS[level])
-        return _threefry_codebook(key, n_samples, width)
+        return jax.random.normal(key, (n_samples, width), jnp.float32)
     if kind == "sobol":
         from scipy.stats import norm, qmc
 

@@ -221,14 +221,17 @@ def _init_level_state(lv: LevelArtifact, meta: LevelMeta, n_rows: int, kl_beta: 
 def init_codec(
     artifact: PriorArtifact,
     n_rows: int,
-    codebook_kind: str = "threefry",
+    codebook_kind: Optional[str] = None,
     initial_beta: Optional[float] = None,
 ) -> Tuple[Codec, CodecState]:
     """Build the coding context and fresh state for ``n_rows`` posterior rows
-    (datapoints, or patches in patch mode)."""
+    (datapoints, or patches in patch mode). The codebook kind defaults to the
+    artifact's (it is bitstream format, not a tuning knob)."""
     cfg = artifact.config
     beta = artifact.kl_beta if initial_beta is None else initial_beta
     seed = artifact.codebook_seed
+    if codebook_kind is None:
+        codebook_kind = getattr(artifact, "codebook_kind", "threefry")
     bits = cfg.bits_per_group
 
     w_meta = _make_level_meta(
@@ -419,6 +422,10 @@ def optimize(
     (test_model.py:722,771,821); pass/return opt_state to split one long run
     into chunks without perturbing the dynamics.
 
+    NOTE: ``state`` is DONATED (its buffers are consumed) — rebind the
+    result, never reuse the argument after the call. On CPU donation is a
+    no-op; on TPU reuse raises "array has been deleted".
+
     remat=True rematerializes the ELBO forward in the backward pass
     (jax.checkpoint): cuts the stored activation chain — the dominant HBM
     allocation at kodak/video encode scale, where S=5 over thousands of
@@ -445,6 +452,12 @@ def optimize(
         s, o = carry
         i, k = inputs
 
+        # gradient first, THEN the annealing update: the reference builds the
+        # elbo graph (capturing the current betas) before calling
+        # update_annealing_factors (test_model.py:623-632), so new betas only
+        # weight the FOLLOWING epoch's gradient.
+        grads = jax.grad(loss_fn)(_trainables(s), s, k)
+
         if adjust_betas:
             def do_adjust(s):
                 s = s.replace_level("w", update_betas(s.w, codec.w, cfg.bits_per_group))
@@ -455,7 +468,6 @@ def optimize(
 
             s = jax.lax.cond(i % kl_adjust_gap == 0, do_adjust, lambda s: s, s)
 
-        grads = jax.grad(loss_fn)(_trainables(s), s, k)
         updates, o = opt.update(grads, o)
         qs = optax.apply_updates(_trainables(s), updates)
         return (_with_trainables(s, qs), o), None
@@ -578,10 +590,9 @@ def _coded_to_physical(x_coded: jax.Array, meta: LevelMeta) -> jax.Array:
     """Coded (R, D) -> physical layout: phys[r, d] = coded[r'(r,d), group2param...].
 
     phys[r, d] = coded[beta_row[r, d], group2param[d]] (pure gather)."""
-    x = x_coded[:, :]
     if meta.beta_row is None:
-        return jnp.take(x, meta.group2param, axis=1)
-    return x[meta.beta_row, meta.group2param[None, :]]
+        return jnp.take(x_coded, meta.group2param, axis=1)
+    return x_coded[meta.beta_row, meta.group2param[None, :]]
 
 
 def decode_state(codec: Codec, indices: dict, cfg: ModalityConfig) -> CodecState:

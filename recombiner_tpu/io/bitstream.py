@@ -31,6 +31,7 @@ def pack_bitstream(
     config_name: str,
     codebook_seed: int,
     bits_per_group: int,
+    codebook_kind: str = "threefry",
     extra: dict | None = None,
 ) -> bytes:
     from recombiner_tpu import native
@@ -54,6 +55,7 @@ def pack_bitstream(
         {
             "config": config_name,
             "codebook_seed": int(codebook_seed),
+            "codebook_kind": codebook_kind,
             "bits_per_group": int(bits_per_group),
             "levels": levels,
             **(extra or {}),

@@ -51,6 +51,7 @@ class PriorArtifact:
     A: list  # per-layer linear transform matrices
     up: Dict  # upsampler conv params {conv{i}: {w, b}}
     codebook_seed: int = 42
+    codebook_kind: str = "threefry"  # part of the bitstream format
 
     @property
     def levels(self):
@@ -86,6 +87,7 @@ def save_prior_artifact(path: str, art: PriorArtifact) -> None:
         "config": config_to_dict(art.config),
         "kl_beta": float(art.kl_beta),
         "codebook_seed": int(art.codebook_seed),
+        "codebook_kind": art.codebook_kind,
         "has_hierarchy": art.h is not None,
         "n_layers": len(art.A),
     }
@@ -131,4 +133,5 @@ def load_prior_artifact(path: str) -> PriorArtifact:
         A=A,
         up=up,
         codebook_seed=int(header.get("codebook_seed", 42)),
+        codebook_kind=str(header.get("codebook_kind", "threefry")),
     )

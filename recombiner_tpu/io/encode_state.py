@@ -31,10 +31,14 @@ def save_encode_state(path: str, state: CodecState, *, extra: Optional[dict] = N
         if ls is None:
             continue
         levels.append(name)
-        arrays[f"{name}/loc"] = np.asarray(ls.q.loc)
-        arrays[f"{name}/log_scale"] = np.asarray(ls.q.log_scale)
+        # fetch_global: row-sharded multi-host arrays are non-addressable
+        # and np.asarray would raise (parallel/launch.py)
+        from recombiner_tpu.parallel.launch import fetch_global
+
+        arrays[f"{name}/loc"] = fetch_global(ls.q.loc)
+        arrays[f"{name}/log_scale"] = fetch_global(ls.q.log_scale)
         for f in _FIELDS:
-            arrays[f"{name}/{f}"] = np.asarray(getattr(ls, f))
+            arrays[f"{name}/{f}"] = fetch_global(getattr(ls, f))
     header = {"version": STATE_VERSION, "levels": levels, **(extra or {})}
     arrays["__header__"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
     np.savez(path, **arrays)

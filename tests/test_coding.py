@@ -319,3 +319,42 @@ def test_optimize_remat_matches(tiny_artifact):
     np.testing.assert_allclose(
         np.asarray(a.w.q.loc), np.asarray(b.w.q.loc), rtol=1e-5, atol=1e-6
     )
+
+
+def test_sobol_codebook_kind_survives_bitstream(tiny_artifact, tmp_path):
+    """codebook kind is bitstream FORMAT: a sobol encode must decode with the
+    sobol codebook, carried through artifact header and bitstream header."""
+    import dataclasses
+    import os
+
+    from recombiner_tpu.coding.progressive import compress
+    from recombiner_tpu.io.bitstream import read_bitstream, write_bitstream
+    from recombiner_tpu.io.checkpoint import load_prior_artifact, save_prior_artifact
+
+    cfg, art, X, Y = tiny_artifact
+    art_sobol = dataclasses.replace(art, codebook_kind="sobol")
+    path = str(tmp_path / "prior_sobol.npz")
+    save_prior_artifact(path, art_sobol)
+    art_sobol = load_prior_artifact(path)
+    assert art_sobol.codebook_kind == "sobol"
+
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+    codec, state = init_codec(art_sobol, n_rows=2)  # defaults to artifact kind
+    res = compress(codec, state, Xj, Yj, cfg, jax.random.key(2),
+                   n_optimize_epochs=10, sample_size=2, finetune_overrides={"w": 1})
+    bs = str(tmp_path / "bs.rctb")
+    write_bitstream(bs, res.indices, config_name=cfg.name,
+                    codebook_seed=art_sobol.codebook_seed,
+                    codebook_kind=art_sobol.codebook_kind,
+                    bits_per_group=cfg.bits_per_group)
+    header, indices = read_bitstream(bs)
+    assert header["codebook_kind"] == "sobol"
+
+    # a receiver honoring the header reproduces the reconstruction exactly;
+    # the WRONG (default threefry) codebook demonstrably does not
+    codec_rx, _ = init_codec(art_sobol, n_rows=2, codebook_kind=header["codebook_kind"])
+    y = np.asarray(decode(codec_rx, indices, Xj, cfg))
+    np.testing.assert_array_equal(y, res.reconstruction)
+    codec_bad, _ = init_codec(art_sobol, n_rows=2, codebook_kind="threefry")
+    y_bad = np.asarray(decode(codec_bad, indices, Xj, cfg))
+    assert not np.array_equal(y_bad, res.reconstruction)
