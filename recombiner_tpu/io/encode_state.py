@@ -10,6 +10,7 @@ already-coded groups (its group selection masks compressed groups).
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -41,6 +42,11 @@ def save_encode_state(path: str, state: CodecState, *, extra: Optional[dict] = N
             arrays[f"{name}/{f}"] = fetch_global(getattr(ls, f))
     header = {"version": STATE_VERSION, "levels": levels, **(extra or {})}
     arrays["__header__"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+    # snapshots fire mid-encode, often before the CLI creates its output
+    # directory — losing hours of encode to a missing dir is unacceptable
+    parent = os.path.dirname(str(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     np.savez(path, **arrays)
 
 
