@@ -36,6 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--test_dir", default=None)
     p.add_argument("--test_idx", type=int, default=0)
     p.add_argument("--synthetic", type=int, default=0, help="use N synthetic datapoints")
+    p.add_argument("--synthetic_kind", default="smooth", choices=("smooth", "speech"),
+                   help="synthetic signal family (speech: 1-D audio geometries)")
+    p.add_argument("--test_wav", default=None,
+                   help="encode this WAV file as the test datum (audio geometries); "
+                        "overrides the synthetic/loaded test set")
     p.add_argument("--bitrates", type=float, nargs="+", required=True)
     p.add_argument("--train_size", type=int, default=10_000_000_000)
     p.add_argument("--seed", type=int, default=42)
@@ -52,6 +57,8 @@ def parse_args(argv=None):
                    help="with --synthetic: number of synthetic test datapoints (default: synthetic//2)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the encode forward (memory for compute)")
+    p.add_argument("--export_dir", default=None,
+                   help="write decoded media (PNG/WAV/PDB/NPZ) per RD point here")
     return p.parse_args(argv)
 
 
@@ -61,13 +68,20 @@ def main(argv=None):
     cfg = get_config(args.dataset)
 
     if args.synthetic:
-        Xtr, Ytr = synthetic_dataset(cfg, args.synthetic, seed=args.seed)
+        Xtr, Ytr = synthetic_dataset(cfg, args.synthetic, seed=args.seed,
+                                     kind=args.synthetic_kind)
         n_te = args.n_test if args.n_test is not None else max(args.synthetic // 2, 1)
-        Xte, Yte = synthetic_dataset(cfg, n_te, seed=args.seed + 1)
+        Xte, Yte = synthetic_dataset(cfg, n_te, seed=args.seed + 1,
+                                     kind=args.synthetic_kind)
     else:
         n = args.train_size // cfg.patches_per_datapoint if cfg.patch else args.train_size
         Xtr, Ytr = load_training_set(args.train_dir, cfg, args.seed, n)
         Xte, Yte = load_test_set(args.test_dir, args.test_idx, cfg)
+
+    if args.test_wav is not None:
+        from recombiner_tpu.data.audio import load_wav_clip
+
+        Xte, Yte = load_wav_clip(args.test_wav, cfg)
 
     # data-parallel: training and encode rows shard over the device mesh
     # (same layout as cli/train.py and cli/compress.py)
@@ -80,11 +94,18 @@ def main(argv=None):
     points = []
     for max_bitrate in args.bitrates:
         print(f"=== bitrate target {max_bitrate} ===", flush=True)
+        def _log(em_iter, rec, state, priors):
+            print(
+                f"  EM {em_iter + 1}/{args.n_em_iters}: mse {rec['mse']:.5f} "
+                f"kl {rec['kl_bits']:.1f} bits beta {rec['kl_beta']:.2e}",
+                flush=True,
+            )
+
         res = em_train(
             jax.random.key(args.seed), cfg, Xtr_s, Ytr_s,
             max_bitrate=max_bitrate, n_em_iters=args.n_em_iters,
             first_epochs=args.first_epochs, later_epochs=args.later_epochs,
-            lr=args.lr,
+            lr=args.lr, log_fn=_log,
         )
         art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
                                    codebook_seed=args.seed)
@@ -110,6 +131,13 @@ def main(argv=None):
             "n_groups": {n: int(codec.meta(n).n_groups) for n in codec.level_names},
             "timings": enc.timings,
         }
+        if args.export_dir is not None:
+            from recombiner_tpu.data.export import export_reconstructions
+
+            point["exported"] = export_reconstructions(
+                enc.reconstruction, cfg, args.export_dir,
+                stem=f"decoded_{cfg.name}_{max_bitrate:g}",
+            )
         points.append(point)
         print(json.dumps(point), flush=True)
 

@@ -62,3 +62,23 @@ def load_clip_list(path: str) -> List[np.ndarray]:
 def load_audio(clips: Sequence[np.ndarray], cfg: ModalityConfig) -> Tuple[np.ndarray, np.ndarray]:
     data = [np.asarray(c, np.float32).reshape(CLIP_SAMPLES, 1) for c in clips]
     return points_from_data(data, cfg)
+
+
+def load_wav_clip(path: str, cfg: ModalityConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Load one WAV file as an encode target: (wav + 1) / 2 normalization
+    exactly like the reference preprocessing (data/audio.py:96-99), truncated
+    to the config's clip length. Handles IEEE-float WAVs (the reference's
+    examples/ground_truth.wav is format 3, which stdlib wave rejects)."""
+    from scipy.io import wavfile
+
+    rate, wav = wavfile.read(path)
+    if rate != SAMPLE_RATE:
+        raise ValueError(f"{path}: sample rate {rate}, expected {SAMPLE_RATE}")
+    if wav.dtype.kind == "i":  # PCM -> [-1, 1]
+        wav = wav.astype(np.float32) / float(np.iinfo(wav.dtype).max)
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    n = cfg.patches_per_datapoint * cfg.pixel_sizes[0] if cfg.patch else cfg.pixel_sizes[0]
+    if wav.shape[0] < n:
+        raise ValueError(f"{path}: {wav.shape[0]} samples, need {n}")
+    clip = (wav[:n] + 1.0) / 2.0
+    return points_from_data([clip[:, None]], cfg)

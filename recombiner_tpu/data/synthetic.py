@@ -32,11 +32,87 @@ def smooth_signal(
     return out.astype(np.float32)
 
 
+def speech_like_clip(
+    rng: np.random.Generator, n_samples: int, sample_rate: int = 16000
+) -> np.ndarray:
+    """Speech-like 1-D signal in [0, 1], shape (n_samples, 1).
+
+    Used to train audio priors when no LibriSpeech training set exists (this
+    environment has zero egress; the only real audio is the reference's
+    single test clip, examples/ground_truth.wav). A prior trained on
+    smooth_signal() is nearly DC at the 800-sample patch scale, hopelessly
+    mismatched to 16 kHz speech — this generator instead produces the
+    spectral structure speech INR priors actually see: voiced segments
+    (harmonic stack on a drifting 90-250 Hz pitch, formant-shaped envelope),
+    unvoiced segments (band-passed noise bursts), and pauses, with smooth
+    amplitude modulation. Mapped to [0, 1] exactly like the reference's
+    (wav + 1) / 2 preprocessing (data/audio.py:96-99).
+    """
+    t = np.arange(n_samples) / sample_rate
+    # drifting fundamental: smoothed random walk in 90-250 Hz
+    n_ctrl = max(n_samples // 800, 4)
+    f0_ctrl = rng.uniform(90.0, 250.0, n_ctrl)
+    f0 = np.interp(np.linspace(0, 1, n_samples), np.linspace(0, 1, n_ctrl), f0_ctrl)
+    phase = 2 * np.pi * np.cumsum(f0) / sample_rate
+
+    # formant envelope: 3 random resonances over 300-3500 Hz with 1/f rolloff
+    n_harm = 40
+    k = np.arange(1, n_harm + 1)[:, None]  # (H, 1)
+    harm_freq = k * f0[None, :]  # (H, T)
+    env = np.zeros_like(harm_freq)
+    for _ in range(3):
+        fc = rng.uniform(300.0, 3500.0)
+        bw = rng.uniform(80.0, 400.0)
+        env += np.exp(-0.5 * ((harm_freq - fc) / bw) ** 2)
+    env = (env + 0.15) / (1.0 + 0.3 * harm_freq / 100.0)  # rolloff
+    phi = rng.uniform(0, 2 * np.pi, (n_harm, 1))
+    voiced = (env * np.sin(k * phase[None, :] + phi)).sum(0)
+    voiced /= max(np.abs(voiced).max(), 1e-9)
+
+    # unvoiced: high-passed noise (FFT mask above ~2 kHz)
+    noise = rng.normal(size=n_samples)
+    spec = np.fft.rfft(noise)
+    freqs = np.fft.rfftfreq(n_samples, 1.0 / sample_rate)
+    spec *= 1.0 / (1.0 + np.exp(-(freqs - 2000.0) / 300.0))
+    unvoiced = np.fft.irfft(spec, n_samples)
+    unvoiced /= max(np.abs(unvoiced).max(), 1e-9)
+
+    # segmentation: alternate voiced / unvoiced / silence, 60-300 ms pieces
+    gate_v = np.zeros(n_samples)
+    gate_u = np.zeros(n_samples)
+    pos = 0
+    while pos < n_samples:
+        seg = int(rng.uniform(0.06, 0.3) * sample_rate)
+        kind = rng.choice(3, p=[0.6, 0.25, 0.15])  # voiced / unvoiced / pause
+        if kind == 0:
+            gate_v[pos : pos + seg] = 1.0
+        elif kind == 1:
+            gate_u[pos : pos + seg] = 0.35
+        pos += seg
+    # smooth the gates (~8 ms ramps) so segment edges aren't step functions;
+    # np.convolve('same') returns the LONGER operand's length, so clamp the
+    # kernel below the clip length for tiny test geometries
+    w = max(min(int(0.008 * sample_rate), (n_samples - 1) // 2 - 1), 1)
+    kernel = np.hanning(2 * w + 1)
+    kernel /= kernel.sum()
+    gate_v = np.convolve(gate_v, kernel, mode="same")
+    gate_u = np.convolve(gate_u, kernel, mode="same")
+    # slow loudness modulation (syllabic, ~3-5 Hz)
+    amp = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(2.5, 5.0) * t + rng.uniform(0, 2 * np.pi))
+
+    wav = amp * (gate_v * voiced + gate_u * unvoiced)
+    wav *= rng.uniform(0.3, 0.6) / max(np.abs(wav).max(), 1e-9)  # peak like real speech
+    return (((wav + 1.0) / 2.0).astype(np.float32))[:, None]
+
+
 def synthetic_dataset(
-    cfg: ModalityConfig, n_datapoints: int, seed: int = 0
+    cfg: ModalityConfig, n_datapoints: int, seed: int = 0, kind: str = "smooth"
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Build (X, Y) exactly as the data pipeline would: Fourier-embedded
     coordinates and per-point features, optionally split into patches.
+
+    kind: "smooth" (band-limited Fourier mixtures, any geometry) or
+    "speech" (speech-like clips, 1-D single-channel geometries only).
 
     Returns X (R, P, fourier_dim), Y (R, P, out_dim) where R =
     n_datapoints * patches_per_datapoint.
@@ -52,9 +128,15 @@ def synthetic_dataset(
     feats = grid_fourier_features(cfg.pixel_sizes, cfg.fourier_dim)  # per patch/datum
     P = feats.shape[0]
 
+    if kind == "speech" and not (cfg.data_dim == 1 and cfg.output_dim == 1):
+        raise ValueError("kind='speech' needs 1-D single-channel geometry")
+
     Xs, Ys = [], []
     for _ in range(n_datapoints):
-        sig = smooth_signal(rng, full_spatial, cfg.output_dim)
+        if kind == "speech":
+            sig = speech_like_clip(rng, full_spatial[0])
+        else:
+            sig = smooth_signal(rng, full_spatial, cfg.output_dim)
         if cfg.patch:
             patches = patchify(sig, cfg.pixel_sizes)  # (n_patches, *ps, C)
             Ys.append(patches.reshape(patches.shape[0], P, cfg.output_dim))

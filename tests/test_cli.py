@@ -97,3 +97,32 @@ def test_rd_sweep_synthetic(tmp_path):
     saved = json.load(open(out))
     assert saved["dataset"] == "tiny"
     assert len(saved["points"]) == 2
+
+
+def test_rd_sweep_real_wav(tmp_path):
+    """rd_sweep with --test_wav: speech-like synthetic prior, real-WAV encode
+    target, media export (the workflow behind docs/RD_AUDIO.md)."""
+    from recombiner_tpu.cli import rd_sweep
+    from recombiner_tpu.data.export import write_wav
+    from recombiner_tpu.data.synthetic import speech_like_clip
+
+    clip = speech_like_clip(np.random.default_rng(5), 256)[:, 0]
+    wav_path = str(tmp_path / "gt.wav")
+    write_wav(wav_path, clip)
+
+    out = str(tmp_path / "rd.json")
+    export = str(tmp_path / "media")
+    points = rd_sweep.main(
+        [
+            "--dataset", "tiny_audio", "--synthetic", "2",
+            "--synthetic_kind", "speech", "--test_wav", wav_path,
+            "--bitrates", "40.0", "--n_em_iters", "2", "--first_epochs", "8",
+            "--later_epochs", "4", "--n_encode_epochs", "10",
+            "--finetune_epochs", "1", "--sample_size", "2", "--lr", "2e-3",
+            "--out", out, "--export_dir", export,
+        ]
+    )
+    assert len(points) == 1
+    exported = points[0]["exported"]
+    assert len(exported) == 1 and exported[0].endswith(".wav")
+    assert os.path.exists(exported[0])

@@ -127,3 +127,45 @@ def test_synthetic_dataset_patch_consistency():
     assert X.shape == (12, 256, 16)
     assert Y.shape == (12, 256, 3)
     assert 0.0 <= Y.min() and Y.max() <= 1.0
+
+
+def test_synthetic_speech_kind():
+    from recombiner_tpu.config import AUDIO, TINY
+    from recombiner_tpu.data.synthetic import speech_like_clip, synthetic_dataset
+
+    X, Y = synthetic_dataset(AUDIO, 1, seed=0, kind="speech")
+    assert X.shape == (60, 800, 16) and Y.shape == (60, 800, 1)
+    assert 0.0 <= Y.min() and Y.max() <= 1.0
+
+    # speech-like clips must carry real high-frequency energy (>1 kHz), the
+    # thing the smooth generator lacks at 16 kHz
+    rng = np.random.default_rng(0)
+    clip = speech_like_clip(rng, 48000)[:, 0]
+    spec = np.abs(np.fft.rfft(clip - clip.mean())) ** 2
+    freqs = np.fft.rfftfreq(48000, 1 / 16000)
+    hi = spec[freqs > 1000].sum() / spec.sum()
+    assert hi > 0.05, f"high-frequency energy fraction {hi}"
+
+    with pytest.raises(ValueError, match="speech"):
+        synthetic_dataset(TINY, 1, kind="speech")  # 2-D geometry
+
+
+def test_load_wav_clip(tmp_path):
+    from recombiner_tpu.config import TINY_AUDIO
+    from recombiner_tpu.data.audio import load_wav_clip
+    from recombiner_tpu.data.export import write_wav
+
+    rng = np.random.default_rng(2)
+    clip01 = rng.uniform(0.2, 0.8, 256).astype(np.float32)  # [0,1] domain
+    p = str(tmp_path / "clip.wav")
+    write_wav(p, clip01)  # writes 16-bit PCM of 2*clip-1
+
+    X, Y = load_wav_clip(p, TINY_AUDIO)
+    assert X.shape == (4, 64, 16) and Y.shape == (4, 64, 1)
+    # round trip: PCM16 quantization error only
+    np.testing.assert_allclose(Y.reshape(-1), clip01, atol=1.0 / 32767)
+
+    with pytest.raises(ValueError, match="samples"):
+        short = str(tmp_path / "short.wav")
+        write_wav(short, clip01[:100])
+        load_wav_clip(short, TINY_AUDIO)
