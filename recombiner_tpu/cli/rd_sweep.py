@@ -59,6 +59,11 @@ def parse_args(argv=None):
                    help="rematerialize the encode forward (memory for compute)")
     p.add_argument("--export_dir", default=None,
                    help="write decoded media (PNG/WAV/PDB/NPZ) per RD point here")
+    p.add_argument("--save_prior_dir", default=None,
+                   help="save the trained prior artifact per bitrate here")
+    p.add_argument("--load_prior_dir", default=None,
+                   help="load prior artifacts saved by --save_prior_dir instead of "
+                        "training (encode-schedule studies: train once, encode many)")
     return p.parse_args(argv)
 
 
@@ -94,21 +99,34 @@ def main(argv=None):
     points = []
     for max_bitrate in args.bitrates:
         print(f"=== bitrate target {max_bitrate} ===", flush=True)
-        def _log(em_iter, rec, state, priors):
-            print(
-                f"  EM {em_iter + 1}/{args.n_em_iters}: mse {rec['mse']:.5f} "
-                f"kl {rec['kl_bits']:.1f} bits beta {rec['kl_beta']:.2e}",
-                flush=True,
-            )
+        prior_name = f"PRIOR_rd_{cfg.name}_bitrate={max_bitrate:g}.npz"
+        if args.load_prior_dir is not None:
+            from recombiner_tpu.io.checkpoint import load_prior_artifact
 
-        res = em_train(
-            jax.random.key(args.seed), cfg, Xtr_s, Ytr_s,
-            max_bitrate=max_bitrate, n_em_iters=args.n_em_iters,
-            first_epochs=args.first_epochs, later_epochs=args.later_epochs,
-            lr=args.lr, log_fn=_log,
-        )
-        art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
-                                   codebook_seed=args.seed)
+            art = load_prior_artifact(f"{args.load_prior_dir}/{prior_name}")
+        else:
+            def _log(em_iter, rec, state, priors):
+                print(
+                    f"  EM {em_iter + 1}/{args.n_em_iters}: mse {rec['mse']:.5f} "
+                    f"kl {rec['kl_bits']:.1f} bits beta {rec['kl_beta']:.2e}",
+                    flush=True,
+                )
+
+            res = em_train(
+                jax.random.key(args.seed), cfg, Xtr_s, Ytr_s,
+                max_bitrate=max_bitrate, n_em_iters=args.n_em_iters,
+                first_epochs=args.first_epochs, later_epochs=args.later_epochs,
+                lr=args.lr, log_fn=_log,
+            )
+            art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
+                                       codebook_seed=args.seed)
+            if args.save_prior_dir is not None:
+                import os
+
+                from recombiner_tpu.io.checkpoint import save_prior_artifact
+
+                os.makedirs(args.save_prior_dir, exist_ok=True)
+                save_prior_artifact(f"{args.save_prior_dir}/{prior_name}", art)
         codec, state = init_codec(art, n_rows=Xte.shape[0])
         codec = shard_rows(codec, mesh)
         state = shard_rows(state, mesh)

@@ -126,3 +126,24 @@ def test_rd_sweep_real_wav(tmp_path):
     exported = points[0]["exported"]
     assert len(exported) == 1 and exported[0].endswith(".wav")
     assert os.path.exists(exported[0])
+
+
+def test_rd_sweep_prior_save_load(tmp_path):
+    """--save_prior_dir then --load_prior_dir reproduces the identical RD
+    point without retraining (the train-once/encode-many study workflow)."""
+    from recombiner_tpu.cli import rd_sweep
+
+    common = [
+        "--dataset", "tiny", "--synthetic", "2", "--bitrates", "4.0",
+        "--n_em_iters", "2", "--first_epochs", "8", "--later_epochs", "4",
+        "--n_encode_epochs", "10", "--finetune_epochs", "1",
+        "--sample_size", "2", "--lr", "2e-3",
+    ]
+    pdir = str(tmp_path / "priors")
+    p1 = rd_sweep.main(common + ["--out", str(tmp_path / "a.json"),
+                                 "--save_prior_dir", pdir])
+    assert os.path.exists(os.path.join(pdir, "PRIOR_rd_tiny_bitrate=4.npz"))
+    p2 = rd_sweep.main(common + ["--out", str(tmp_path / "b.json"),
+                                 "--load_prior_dir", pdir])
+    assert p1[0]["actual_bitrate"] == p2[0]["actual_bitrate"]
+    assert abs(p1[0]["distortion_mean"] - p2[0]["distortion_mean"]) < 1e-4
