@@ -40,8 +40,12 @@ def parse_args(argv=None):
     p.add_argument("--state_path", default=None, help="encode-state snapshot path: written every --save_every groups and resumed from if it exists")
     p.add_argument("--save_every", type=int, default=10)
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize the ELBO forward in backward (fits kodak/video-scale encodes in HBM for ~1.3x epoch cost)")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=None,
+                   help="rematerialize the ELBO forward in backward (fits kodak/video-"
+                        "scale encodes in HBM for ~1.3x epoch cost). Default: auto — "
+                        "enabled when the stored-activation estimate exceeds 8 GB/device "
+                        "(an HBM OOM here crashes the TPU worker, it does not raise). "
+                        "--no-remat forces it off.")
     return p.parse_args(argv)
 
 
@@ -81,9 +85,14 @@ def main(argv=None):
     # kodak-scale encode (384 rows) exceeded a 16 GB chip this way.
     est_gb = 7 * (n_rows * args.sample_size / mesh.devices.size) \
         * cfg.n_pixels * 32 * 4 / 1e9
-    if est_gb > 8.0 and not args.remat:
-        print(f"WARNING: ~{est_gb:.1f} GB of stored activations per device; "
-              "consider --remat (recompute-in-backward) to avoid HBM OOM",
+    if args.remat is None:  # auto: recompute-in-backward when HBM would blow
+        args.remat = est_gb > 8.0
+        if args.remat:
+            print(f"~{est_gb:.1f} GB of stored activations per device: "
+                  "enabling --remat (override with --no-remat)", flush=True)
+    elif est_gb > 8.0 and not args.remat:
+        print(f"WARNING: ~{est_gb:.1f} GB of stored activations per device "
+              "with --no-remat; expect an HBM OOM (crashes the TPU worker)",
               flush=True)
     print(
         f"Model initialized. Expected bitrate "

@@ -147,3 +147,13 @@ def test_rd_sweep_prior_save_load(tmp_path):
                                  "--load_prior_dir", pdir])
     assert p1[0]["actual_bitrate"] == p2[0]["actual_bitrate"]
     assert abs(p1[0]["distortion_mean"] - p2[0]["distortion_mean"]) < 1e-4
+
+
+def test_compress_remat_flag_tristate():
+    from recombiner_tpu.cli.compress import parse_args
+
+    base = ["--test_dir", "x", "--prior_path", "y", "--test_idx", "0",
+            "--save_dir", "z"]
+    assert parse_args(base).remat is None          # auto
+    assert parse_args(base + ["--remat"]).remat is True
+    assert parse_args(base + ["--no-remat"]).remat is False
