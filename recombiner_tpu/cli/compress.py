@@ -21,6 +21,7 @@ from recombiner_tpu.io.bitstream import write_bitstream
 from recombiner_tpu.io.checkpoint import load_prior_artifact
 from recombiner_tpu.parallel.launch import is_primary, maybe_initialize_distributed
 from recombiner_tpu.parallel.mesh import make_mesh, shard_rows
+from recombiner_tpu.utils.memory import resolve_remat
 
 
 def parse_args(argv=None):
@@ -80,20 +81,9 @@ def main(argv=None):
     state = shard_rows(state, mesh)
     if mesh.devices.size > 1:
         print(f"Encoding on {mesh.devices.size} devices (rows sharded)", flush=True)
-    # rough stored-activation estimate for the S-sample ELBO backward: the
-    # full chain is ~7 arrays of (rows*S, pixels, 32) f32 per device. A
-    # kodak-scale encode (384 rows) exceeded a 16 GB chip this way.
-    est_gb = 7 * (n_rows * args.sample_size / mesh.devices.size) \
-        * cfg.n_pixels * 32 * 4 / 1e9
-    if args.remat is None:  # auto: recompute-in-backward when HBM would blow
-        args.remat = est_gb > 8.0
-        if args.remat:
-            print(f"~{est_gb:.1f} GB of stored activations per device: "
-                  "enabling --remat (override with --no-remat)", flush=True)
-    elif est_gb > 8.0 and not args.remat:
-        print(f"WARNING: ~{est_gb:.1f} GB of stored activations per device "
-              "with --no-remat; expect an HBM OOM (crashes the TPU worker)",
-              flush=True)
+    args.remat = resolve_remat(
+        args.remat, cfg, n_rows, args.sample_size, mesh.devices.size
+    )
     print(
         f"Model initialized. Expected bitrate "
         f"{cfg.bitrate_of_groups(codec.w.n_groups, 0 if codec.h is None else codec.h.n_groups, 0 if codec.hh is None else codec.hh.n_groups):.3f}",

@@ -27,6 +27,7 @@ from recombiner_tpu.parallel.launch import maybe_initialize_distributed
 from recombiner_tpu.parallel.mesh import make_mesh, shard_rows
 from recombiner_tpu.priors.artifact import build_prior_artifact
 from recombiner_tpu.priors.trainer import em_train
+from recombiner_tpu.utils.memory import resolve_remat
 
 
 def parse_args(argv=None):
@@ -55,8 +56,9 @@ def parse_args(argv=None):
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
     p.add_argument("--n_test", type=int, default=None,
                    help="with --synthetic: number of synthetic test datapoints (default: synthetic//2)")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize the encode forward (memory for compute)")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=None,
+                   help="rematerialize the encode forward (memory for compute); "
+                        "default: auto — on when stored activations exceed 8 GB/device")
     p.add_argument("--export_dir", default=None,
                    help="write decoded media (PNG/WAV/PDB/NPZ) per RD point here")
     p.add_argument("--save_prior_dir", default=None,
@@ -95,6 +97,9 @@ def main(argv=None):
     Ytr_s = shard_rows(jnp.asarray(Ytr), mesh)
     Xte_s = shard_rows(jnp.asarray(Xte), mesh)
     Yte_s = shard_rows(jnp.asarray(Yte), mesh)
+
+    remat = resolve_remat(args.remat, cfg, Xte.shape[0], args.sample_size,
+                          mesh.devices.size)
 
     points = []
     for max_bitrate in args.bitrates:
@@ -140,7 +145,7 @@ def main(argv=None):
                 else {k: args.finetune_epochs for k in ("w", "h", "hh")}
             ),
             verbose=True,
-            remat=args.remat,
+            remat=remat,
         )
         point = {
             "target_bitrate": max_bitrate,

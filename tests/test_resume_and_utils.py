@@ -115,3 +115,21 @@ def test_trace_noop_and_log_jsonl(tmp_path):
     log_jsonl(p, {"step": 2, "psnr": 31.0})
     recs = [json.loads(l) for l in open(p)]
     assert recs[1]["psnr"] == 31.0
+
+
+def test_resolve_remat_tristate(capsys):
+    from recombiner_tpu.config import CIFAR, KODAK
+    from recombiner_tpu.utils.memory import resolve_remat, stored_activation_gb
+
+    # cifar 500 rows, S=5: ~2.3 GB -> auto stays off
+    assert stored_activation_gb(CIFAR, 500, 5) < 8.0
+    assert resolve_remat(None, CIFAR, 500, 5) is False
+    # kodak-scale 384 rows, S=5: the documented OOM case -> auto turns on
+    assert stored_activation_gb(KODAK, 384, 5) > 8.0
+    assert resolve_remat(None, KODAK, 384, 5) is True
+    # sharding 8-ways brings it back under
+    assert resolve_remat(None, KODAK, 384, 5, n_devices=8) is False
+    # explicit values pass through (with a warning for the risky one)
+    assert resolve_remat(False, KODAK, 384, 5) is False
+    assert "WARNING" in capsys.readouterr().out
+    assert resolve_remat(True, CIFAR, 500, 5) is True
