@@ -37,8 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--test_dir", default=None)
     p.add_argument("--test_idx", type=int, default=0)
     p.add_argument("--synthetic", type=int, default=0, help="use N synthetic datapoints")
-    p.add_argument("--synthetic_kind", default="smooth", choices=("smooth", "speech"),
-                   help="synthetic signal family (speech: 1-D audio geometries)")
+    p.add_argument("--synthetic_kind", default="smooth", choices=("smooth", "speech", "backbone"),
+                   help="synthetic signal family (speech: audio; backbone: protein)")
     p.add_argument("--test_wav", default=None,
                    help="encode this WAV file as the test datum (audio geometries); "
                         "overrides the synthetic/loaded test set")

@@ -105,14 +105,42 @@ def speech_like_clip(
     return (((wav + 1.0) / 2.0).astype(np.float32))[:, None]
 
 
+def protein_backbone(rng: np.random.Generator, n_residues: int) -> np.ndarray:
+    """Synthetic CA backbone with the statistics the protein pipeline expects
+    (data/protein.py:9-42 semantics): consecutive CA-CA distance 3.8 A,
+    direction random walk with angular persistence (compact fold-like
+    geometry, alternating straighter helix-like and kinked loop-like
+    segments), centered and scaled by 1/25 exactly like the loader.
+    Returns (n_residues, 3) in normalized units (roughly [-1, 1])."""
+    u = rng.normal(size=3)
+    u /= np.linalg.norm(u)
+    # per-residue persistence: high (straight) in helix-like runs, low in loops
+    persist = np.empty(n_residues)
+    pos = 0
+    while pos < n_residues:
+        seg = int(rng.integers(4, 16))
+        persist[pos : pos + seg] = rng.choice([0.85, 0.35], p=[0.55, 0.45])
+        pos += seg
+    steps = np.empty((n_residues, 3))
+    steps[0] = u
+    for i in range(1, n_residues):
+        u = persist[i] * u + (1.0 - persist[i]) * rng.normal(size=3)
+        u /= np.linalg.norm(u)
+        steps[i] = u
+    xyz = np.cumsum(3.8 * steps, axis=0)
+    xyz -= xyz.mean(0)
+    return (xyz / 25.0).astype(np.float32)
+
+
 def synthetic_dataset(
     cfg: ModalityConfig, n_datapoints: int, seed: int = 0, kind: str = "smooth"
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Build (X, Y) exactly as the data pipeline would: Fourier-embedded
     coordinates and per-point features, optionally split into patches.
 
-    kind: "smooth" (band-limited Fourier mixtures, any geometry) or
-    "speech" (speech-like clips, 1-D single-channel geometries only).
+    kind: "smooth" (band-limited Fourier mixtures, any geometry),
+    "speech" (speech-like clips, 1-D single-channel geometries only), or
+    "backbone" (protein CA traces, 1-D three-channel geometries only).
 
     Returns X (R, P, fourier_dim), Y (R, P, out_dim) where R =
     n_datapoints * patches_per_datapoint.
@@ -130,11 +158,15 @@ def synthetic_dataset(
 
     if kind == "speech" and not (cfg.data_dim == 1 and cfg.output_dim == 1):
         raise ValueError("kind='speech' needs 1-D single-channel geometry")
+    if kind == "backbone" and not (cfg.data_dim == 1 and cfg.output_dim == 3):
+        raise ValueError("kind='backbone' needs 1-D three-channel geometry")
 
     Xs, Ys = [], []
     for _ in range(n_datapoints):
         if kind == "speech":
             sig = speech_like_clip(rng, full_spatial[0])
+        elif kind == "backbone":
+            sig = protein_backbone(rng, full_spatial[0])
         else:
             sig = smooth_signal(rng, full_spatial, cfg.output_dim)
         if cfg.patch:

@@ -169,3 +169,19 @@ def test_load_wav_clip(tmp_path):
         short = str(tmp_path / "short.wav")
         write_wav(short, clip01[:100])
         load_wav_clip(short, TINY_AUDIO)
+
+
+def test_synthetic_backbone_kind():
+    from recombiner_tpu.config import PROTEIN, TINY
+    from recombiner_tpu.data.synthetic import protein_backbone, synthetic_dataset
+
+    X, Y = synthetic_dataset(PROTEIN, 2, seed=0, kind="backbone")
+    assert X.shape == (2, 96, 16) and Y.shape == (2, 96, 3)
+
+    xyz = protein_backbone(np.random.default_rng(0), 96) * 25.0  # de-normalize
+    d = np.linalg.norm(np.diff(xyz, axis=0), axis=1)
+    np.testing.assert_allclose(d, 3.8, atol=1e-4)  # CA-CA virtual bonds
+    np.testing.assert_allclose(xyz.mean(0), 0.0, atol=1e-4)  # centered
+
+    with pytest.raises(ValueError, match="backbone"):
+        synthetic_dataset(TINY, 1, kind="backbone")
