@@ -119,6 +119,7 @@ def compress(
                 opt_state=opt_state, return_opt_state=True, remat=remat,
             )
             done += n
+            sync(state.w.kl_beta)  # flow control: one in-flight chunk (small fetch)
             if verbose and done % 10000 == 0:
                 print(f"  optimize {done}/{n_optimize_epochs} epochs", flush=True)
         del opt_state
@@ -142,6 +143,13 @@ def compress(
     # multi-second per-group finetune, so it is enabled whenever the state
     # spans more than one device.
     multi_device = len(state.w.q.loc.sharding.device_set) > 1
+    # Single-device flow control: an unbounded async dispatch queue wedged
+    # the remote TPU tunnel mid-encode (video run 2026-08-16: host blocked
+    # 30+ min in a device fetch with the device silent — see
+    # docs/rd_full_video_wedge.log). Fetch the small per-level index matrix
+    # each group step: bounds the in-flight queue to ~one finetune while
+    # moving only (R, n_groups) i32, microseconds against a multi-second
+    # group step.
 
     # coarse-to-fine: hh -> h -> w (test_model.py:701-848)
     order = ("hh", "h", "w") if cfg.patch else ("w",)
@@ -172,6 +180,8 @@ def compress(
                 # tunnel (CLAUDE.md), which would make the barrier a no-op
                 # exactly where it matters
                 sync(state.level(level).q.loc)
+            else:
+                sync(state.level(level).indices)  # flow control (see above)
             if verbose and step_i in report_at:
                 d = distortion_of(codec, state, X, Y, cfg)
                 print(
