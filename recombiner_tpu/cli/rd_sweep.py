@@ -66,6 +66,9 @@ def parse_args(argv=None):
     p.add_argument("--load_prior_dir", default=None,
                    help="load prior artifacts saved by --save_prior_dir instead of "
                         "training (encode-schedule studies: train once, encode many)")
+    p.add_argument("--state_dir", default=None,
+                   help="snapshot encode state here every 10 groups and resume from "
+                        "it after a crash (pair with --load_prior_dir/--save_prior_dir)")
     return p.parse_args(argv)
 
 
@@ -133,6 +136,19 @@ def main(argv=None):
                 os.makedirs(args.save_prior_dir, exist_ok=True)
                 save_prior_artifact(f"{args.save_prior_dir}/{prior_name}", art)
         codec, state = init_codec(art, n_rows=Xte.shape[0])
+        state_path = None
+        if args.state_dir is not None:
+            import os
+
+            from recombiner_tpu.io.encode_state import load_encode_state
+
+            os.makedirs(args.state_dir, exist_ok=True)
+            state_path = os.path.join(
+                args.state_dir, f"encode_state_{cfg.name}_{max_bitrate:g}"
+            )
+            if os.path.exists(state_path) or os.path.exists(state_path + ".npz"):
+                state = load_encode_state(state_path)
+                print(f"Resumed encode state from {state_path}", flush=True)
         codec = shard_rows(codec, mesh)
         state = shard_rows(state, mesh)
         enc = compress(
@@ -146,6 +162,7 @@ def main(argv=None):
             ),
             verbose=True,
             remat=remat,
+            state_path=state_path,
         )
         point = {
             "target_bitrate": max_bitrate,

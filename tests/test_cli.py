@@ -157,3 +157,28 @@ def test_compress_remat_flag_tristate():
     assert parse_args(base).remat is None          # auto
     assert parse_args(base + ["--remat"]).remat is True
     assert parse_args(base + ["--no-remat"]).remat is False
+
+
+def test_rd_sweep_state_dir_resume(tmp_path):
+    """--state_dir writes encode snapshots; a rerun resumes from them and
+    still produces the full index set."""
+    from recombiner_tpu.cli import rd_sweep
+
+    sdir = str(tmp_path / "st")
+    pdir = str(tmp_path / "pr")
+    common = [
+        "--dataset", "tiny", "--synthetic", "2", "--bitrates", "5.0",
+        "--n_em_iters", "1", "--first_epochs", "6", "--later_epochs", "3",
+        "--n_encode_epochs", "8", "--finetune_epochs", "1",
+        "--sample_size", "2", "--lr", "2e-3", "--state_dir", sdir,
+    ]
+    p1 = rd_sweep.main(common + ["--out", str(tmp_path / "a.json"),
+                                 "--save_prior_dir", pdir])
+    snaps = os.listdir(sdir)
+    assert any(s.startswith("encode_state_tiny") for s in snaps)
+    # rerun with the saved prior: resumes from the (fully coded) snapshot,
+    # skips phase-1, and reports the same rate
+    p2 = rd_sweep.main(common + ["--out", str(tmp_path / "b.json"),
+                                 "--load_prior_dir", pdir])
+    assert p2[0]["actual_bitrate"] == p1[0]["actual_bitrate"]
+    assert p2[0]["timings"]["optimize_s"] < p1[0]["timings"]["optimize_s"]
