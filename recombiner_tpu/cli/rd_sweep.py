@@ -69,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("--state_dir", default=None,
                    help="snapshot encode state here every 10 groups and resume from "
                         "it after a crash (pair with --load_prior_dir/--save_prior_dir)")
+    p.add_argument("--train_state_dir", default=None,
+                   help="snapshot full EM training state here every 10 iterations "
+                        "and resume mid-EM from it after a crash")
     return p.parse_args(argv)
 
 
@@ -113,18 +116,45 @@ def main(argv=None):
 
             art = load_prior_artifact(f"{args.load_prior_dir}/{prior_name}")
         else:
+            state0, priors0, kl_beta0, done = None, None, 1e-8, 0
+            ts_path = None
+            if args.train_state_dir is not None:
+                import os
+
+                from recombiner_tpu.io.train_state import (
+                    load_train_state,
+                    save_train_state,
+                )
+
+                ts_path = os.path.join(
+                    args.train_state_dir, f"train_state_{cfg.name}_{max_bitrate:g}"
+                )
+                if os.path.exists(ts_path) or os.path.exists(ts_path + ".npz"):
+                    state0, priors0, kl_beta0, done = load_train_state(ts_path, cfg)
+                    state0 = shard_rows(state0, mesh)
+                    print(f"Resumed EM state from {ts_path} ({done} iters done)",
+                          flush=True)
+
             def _log(em_iter, rec, state, priors):
                 print(
-                    f"  EM {em_iter + 1}/{args.n_em_iters}: mse {rec['mse']:.5f} "
+                    f"  EM {done + em_iter + 1}/{args.n_em_iters}: mse {rec['mse']:.5f} "
                     f"kl {rec['kl_bits']:.1f} bits beta {rec['kl_beta']:.2e}",
                     flush=True,
                 )
 
+            def _ckpt(em_iter, state, priors, kl_beta):
+                if ts_path is not None:
+                    save_train_state(ts_path, state, priors, kl_beta,
+                                     done + em_iter + 1)
+
             res = em_train(
-                jax.random.key(args.seed), cfg, Xtr_s, Ytr_s,
-                max_bitrate=max_bitrate, n_em_iters=args.n_em_iters,
-                first_epochs=args.first_epochs, later_epochs=args.later_epochs,
+                jax.random.key(args.seed + done), cfg, Xtr_s, Ytr_s,
+                max_bitrate=max_bitrate, n_em_iters=args.n_em_iters - done,
+                first_epochs=(args.first_epochs if done == 0 else args.later_epochs),
+                later_epochs=args.later_epochs,
                 lr=args.lr, log_fn=_log,
+                checkpoint_fn=(_ckpt if ts_path is not None else None),
+                state=state0, priors=priors0, kl_beta=kl_beta0,
             )
             art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
                                        codebook_seed=args.seed)

@@ -133,3 +133,34 @@ def test_resolve_remat_tristate(capsys):
     assert resolve_remat(False, KODAK, 384, 5) is False
     assert "WARNING" in capsys.readouterr().out
     assert resolve_remat(True, CIFAR, 500, 5) is True
+
+
+def test_train_state_roundtrip_and_em_resume(tmp_path):
+    """save/load the full EM state and continue training from it: the
+    resumed run must produce finite progress and identical structure."""
+    import jax
+    import jax.numpy as jnp
+
+    from recombiner_tpu.config import TINY
+    from recombiner_tpu.io.train_state import load_train_state, save_train_state
+    from recombiner_tpu.priors.trainer import em_train
+
+    from recombiner_tpu.data.synthetic import synthetic_dataset
+
+    X, Y = synthetic_dataset(TINY, 2, seed=0)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    res1 = em_train(jax.random.key(0), TINY, Xj, Yj, max_bitrate=4.0,
+                    n_em_iters=2, first_epochs=6, later_epochs=3, lr=2e-3)
+    p = str(tmp_path / "ts")
+    save_train_state(p, res1.state, res1.priors, res1.kl_beta, 2)
+
+    state, priors, kl_beta, done = load_train_state(p, TINY)
+    assert done == 2 and kl_beta == res1.kl_beta
+    for a, b in zip(jax.tree_util.tree_leaves(res1.state),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    res2 = em_train(jax.random.key(1), TINY, Xj, Yj, max_bitrate=4.0,
+                    n_em_iters=1, first_epochs=3, later_epochs=3, lr=2e-3,
+                    state=state, priors=priors, kl_beta=kl_beta)
+    assert np.isfinite(res2.elbo_history[-1]["mse"])
