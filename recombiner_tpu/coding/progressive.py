@@ -120,8 +120,12 @@ def compress(
             )
             done += n
             sync(state.w.kl_beta)  # flow control: one in-flight chunk (small fetch)
-            if verbose and done % 10000 == 0:
-                print(f"  optimize {done}/{n_optimize_epochs} epochs", flush=True)
+            if verbose:
+                # every chunk: the log doubles as the liveness signal for
+                # stall watchdogs (scripts/babysit.py) — chunks are synced,
+                # so each line means real device progress
+                print(f"  optimize {done}/{n_optimize_epochs} epochs "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
         del opt_state
         sync(state.w.q.loc)  # true sync: timings must not lie on the tunnel
     timings["optimize_s"] = time.perf_counter() - t0
@@ -182,13 +186,16 @@ def compress(
                 sync(state.level(level).q.loc)
             else:
                 sync(state.level(level).indices)  # flow control (see above)
-            if verbose and step_i in report_at:
-                d = distortion_of(codec, state, X, Y, cfg)
-                print(
-                    f"[{level}] {step_i + 1}/{meta.n_groups} groups coded; "
-                    f"distortion {np.mean(d):.4f}",
-                    flush=True,
-                )
+            if verbose:
+                if step_i in report_at:
+                    d = distortion_of(codec, state, X, Y, cfg)
+                    print(
+                        f"[{level}] {step_i + 1}/{meta.n_groups} groups coded; "
+                        f"distortion {np.mean(d):.4f}",
+                        flush=True,
+                    )
+                else:  # liveness heartbeat (synced above): one short line/group
+                    print(f"[{level}] {step_i + 1}/{meta.n_groups}", flush=True)
             if log_fn is not None:
                 log_fn(level, step_i, state)
             if state_path is not None and (step_i + 1) % save_every == 0:
