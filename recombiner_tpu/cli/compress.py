@@ -63,13 +63,16 @@ def main(argv=None):
     X, Y = load_test_set(args.test_dir, args.test_idx, cfg)
     n_rows = X.shape[0]
     codec, state = init_codec(art, n_rows)
-    if args.state_path and (
-        os.path.exists(args.state_path) or os.path.exists(args.state_path + ".npz")
-    ):  # np.savez appends .npz to suffix-less paths
+    if args.state_path:
+        from recombiner_tpu.io.atomic import load_snapshot_or_none
         from recombiner_tpu.io.encode_state import load_encode_state
 
-        state = load_encode_state(args.state_path)
-        print(f"Resumed encode state from {args.state_path}", flush=True)
+        loaded, reason = load_snapshot_or_none(args.state_path, load_encode_state)
+        if reason:
+            print(f"WARNING: {reason}; encoding from scratch", flush=True)
+        if loaded is not None:
+            state = loaded
+            print(f"Resumed encode state from {args.state_path}", flush=True)
 
     # data-parallel encode: posterior rows shard over the device mesh (same
     # layout as cli/train.py); codebooks/mappings and the small hierarchical

@@ -126,11 +126,18 @@ def main(argv=None):
                     save_train_state,
                 )
 
+                from recombiner_tpu.io.atomic import load_snapshot_or_none
+
                 ts_path = os.path.join(
                     args.train_state_dir, f"train_state_{cfg.name}_{max_bitrate:g}"
                 )
-                if os.path.exists(ts_path) or os.path.exists(ts_path + ".npz"):
-                    state0, priors0, kl_beta0, done = load_train_state(ts_path, cfg)
+                loaded, reason = load_snapshot_or_none(
+                    ts_path, lambda p: load_train_state(p, cfg)
+                )
+                if reason:
+                    print(f"WARNING: {reason}; training from scratch", flush=True)
+                if loaded is not None:
+                    state0, priors0, kl_beta0, done = loaded
                     state0 = shard_rows(state0, mesh)
                     print(f"Resumed EM state from {ts_path} ({done} iters done)",
                           flush=True)
@@ -170,14 +177,18 @@ def main(argv=None):
         if args.state_dir is not None:
             import os
 
+            from recombiner_tpu.io.atomic import load_snapshot_or_none
             from recombiner_tpu.io.encode_state import load_encode_state
 
             os.makedirs(args.state_dir, exist_ok=True)
             state_path = os.path.join(
                 args.state_dir, f"encode_state_{cfg.name}_{max_bitrate:g}"
             )
-            if os.path.exists(state_path) or os.path.exists(state_path + ".npz"):
-                state = load_encode_state(state_path)
+            loaded, reason = load_snapshot_or_none(state_path, load_encode_state)
+            if reason:
+                print(f"WARNING: {reason}; encoding from scratch", flush=True)
+            if loaded is not None:
+                state = loaded
                 print(f"Resumed encode state from {state_path}", flush=True)
         codec = shard_rows(codec, mesh)
         state = shard_rows(state, mesh)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from recombiner_tpu.coding.encoder import CodecState, LevelState
+from recombiner_tpu.io.atomic import atomic_savez
 from recombiner_tpu.models.gaussian import Gaussian
 
 STATE_VERSION = 1
@@ -42,12 +43,9 @@ def save_encode_state(path: str, state: CodecState, *, extra: Optional[dict] = N
             arrays[f"{name}/{f}"] = fetch_global(getattr(ls, f))
     header = {"version": STATE_VERSION, "levels": levels, **(extra or {})}
     arrays["__header__"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
-    # snapshots fire mid-encode, often before the CLI creates its output
-    # directory — losing hours of encode to a missing dir is unacceptable
-    parent = os.path.dirname(str(path))
-    if parent:
-        os.makedirs(parent, exist_ok=True)
-    np.savez(path, **arrays)
+    # atomic: snapshot writers get SIGKILLed by stall watchdogs; a torn npz
+    # would crash-loop every resume (io/atomic.py)
+    atomic_savez(path, arrays)
 
 
 def load_encode_state(path: str) -> CodecState:

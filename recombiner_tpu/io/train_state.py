@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from recombiner_tpu.config import ModalityConfig
+from recombiner_tpu.io.atomic import atomic_savez
 from recombiner_tpu.parallel.launch import fetch_global
 from recombiner_tpu.priors.trainer import (
     PriorState,
@@ -50,10 +51,7 @@ def save_train_state(
         "train_size": int(jax.tree_util.tree_leaves(state)[0].shape[0]),
     }
     arrays["__header__"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
-    parent = os.path.dirname(str(path))
-    if parent:
-        os.makedirs(parent, exist_ok=True)
-    np.savez(path, **arrays)
+    atomic_savez(path, arrays)
 
 
 def load_train_state(

@@ -164,3 +164,28 @@ def test_train_state_roundtrip_and_em_resume(tmp_path):
                     n_em_iters=1, first_epochs=3, later_epochs=3, lr=2e-3,
                     state=state, priors=priors, kl_beta=kl_beta)
     assert np.isfinite(res2.elbo_history[-1]["mse"])
+
+
+def test_atomic_snapshot_and_corrupt_tolerance(tmp_path):
+    from recombiner_tpu.io.atomic import atomic_savez, load_snapshot_or_none
+
+    p = str(tmp_path / "snap")
+    atomic_savez(p, {"a": np.arange(3)})
+    assert os.path.exists(p + ".npz") and not os.path.exists(p + ".npz.tmp")
+
+    def loader(path):
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return z["a"]
+
+    val, reason = load_snapshot_or_none(p, loader)
+    assert reason is None and val.tolist() == [0, 1, 2]
+
+    # torn write: truncated npz must be quarantined, not crash-loop
+    with open(p + ".npz", "wb") as f:
+        f.write(b"PK\x03\x04 torn")
+    val, reason = load_snapshot_or_none(p, loader)
+    assert val is None and "unreadable" in reason
+    assert os.path.exists(p + ".npz.corrupt") and not os.path.exists(p + ".npz")
+    # absent now -> silent None
+    val, reason = load_snapshot_or_none(p, loader)
+    assert val is None and reason is None
