@@ -12,12 +12,15 @@ cd "$(dirname "$0")/.."
 P=docs/schedule_priors
 
 python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 --n_test 250 \
-  --bitrates 2.0 --save_prior_dir $P --out docs/sched_ref.json
+  --bitrates 2.0 --save_prior_dir $P --train_state_dir $P --out docs/sched_ref.json
 
-# n_groups at 2 bpp is ~128 => reference finetune = max(30000/128,50) ~= 234
-for pair in "15000 117 half" "7500 58 quarter" "3750 29 eighth"; do
-  set -- $pair
+NG=$(python -c "import json;print(json.load(open('docs/sched_ref.json'))['points'][0]['n_groups']['w'])")
+REF_FT=$(python -c "print(max(30000//$NG,50))")
+echo "n_groups=$NG reference finetune=$REF_FT"
+
+for frac in 2 4 8; do
   python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 --n_test 250 \
-    --bitrates 2.0 --load_prior_dir $P --n_encode_epochs "$1" --finetune_epochs "$2" \
-    --out "docs/sched_$3.json"
+    --bitrates 2.0 --load_prior_dir $P \
+    --n_encode_epochs $((30000 / frac)) --finetune_epochs $((REF_FT / frac)) \
+    --out "docs/sched_frac$frac.json"
 done
