@@ -103,15 +103,19 @@ def compress(
     if resuming and verbose:
         print("Resuming encode from restored state; skipping phase-1 optimization", flush=True)
 
-    if n_optimize_epochs > 0 and not resuming:
-        # chunk long optimizations: a single multi-minute XLA program trips
-        # device watchdogs (observed on v5e at ~13 min); 1000-epoch chunks
-        # cost one dispatch each and enable progress logging
+    # Chunk EVERY optimization into <=1000-epoch programs. Two reasons, both
+    # observed on the v5e tunnel: (a) multi-minute single programs trip
+    # device watchdogs; (b) a 7500-epoch finetune program CRASHED the TPU
+    # worker outright at audio h-level geometry while the identical call
+    # chunked at 1000 epochs runs clean (repro 2026-08-17, kept the fix).
+    # Adam state carries across chunks, so the math equals one long call
+    # (modulo per-epoch RNG stream splits, which are encoder-side only).
+    def optimize_chunked(state, key, n_epochs, label=None):
         chunk = 1000
         done = 0
         opt_state = None
-        while done < n_optimize_epochs:
-            n = min(chunk, n_optimize_epochs - done)
+        while done < n_epochs:
+            n = min(chunk, n_epochs - done)
             key, sub = jax.random.split(key)
             state, opt_state = optimize(
                 codec, state, X, Y, sub,
@@ -120,13 +124,17 @@ def compress(
             )
             done += n
             sync(state.w.kl_beta)  # flow control: one in-flight chunk (small fetch)
-            if verbose:
+            if verbose and label is not None:
                 # every chunk: the log doubles as the liveness signal for
                 # stall watchdogs (scripts/babysit.py) — chunks are synced,
                 # so each line means real device progress
-                print(f"  optimize {done}/{n_optimize_epochs} epochs "
+                print(f"  {label} {done}/{n_epochs} epochs "
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
-        del opt_state
+        return state
+
+    if n_optimize_epochs > 0 and not resuming:
+        state = optimize_chunked(state, key, n_optimize_epochs, label="optimize")
+        key, _ = jax.random.split(key, 2)
         sync(state.w.q.loc)  # true sync: timings must not lie on the tunnel
     timings["optimize_s"] = time.perf_counter() - t0
 
@@ -173,11 +181,10 @@ def compress(
                 # test_model.py:631-632); frozen groups keep beta=0 because
                 # update_betas skips compressed groups. Pinned by
                 # test_coding.py::test_finetune_annealing_continues.
-                state = optimize(
-                    codec, state, X, Y, sub,
-                    cfg=cfg, n_epochs=n_ft, lr=lr, sample_size=sample_size,
-                    remat=remat,
-                )
+                # Fresh Adam per group (reference: fresh optimizer each
+                # finetune) — optimize_chunked threads opt_state across its
+                # internal chunks only.
+                state = optimize_chunked(state, sub, n_ft)
             if multi_device:
                 # utils.timing.sync (device_get), NOT block_until_ready: the
                 # latter does not synchronize on this image's axon TPU
