@@ -11,7 +11,7 @@ set -e
 cd "$(dirname "$0")/.."
 P=docs/schedule_priors
 
-python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 --n_test 250 \
+python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 --n_test 125 \
   --bitrates 2.0 --save_prior_dir $P --train_state_dir $P --out docs/sched_ref.json
 
 NG=$(python -c "import json;print(json.load(open('docs/sched_ref.json'))['points'][0]['n_groups']['w'])")
@@ -19,7 +19,7 @@ REF_FT=$(python -c "print(max(30000//$NG,50))")
 echo "n_groups=$NG reference finetune=$REF_FT"
 
 for frac in 2 4 8; do
-  python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 --n_test 250 \
+  python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 --n_test 125 \
     --bitrates 2.0 --load_prior_dir $P \
     --n_encode_epochs $((30000 / frac)) --finetune_epochs $((REF_FT / frac)) \
     --out "docs/sched_frac$frac.json"
