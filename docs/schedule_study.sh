@@ -12,7 +12,7 @@ cd "$(dirname "$0")/.."
 P=docs/schedule_priors
 
 python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 --n_test 125 \
-  --bitrates 2.0 --save_prior_dir $P --train_state_dir $P --out docs/sched_ref.json
+  --bitrates 2.0 --n_em_iters 200 --save_prior_dir $P --train_state_dir $P --out docs/sched_ref.json
 
 NG=$(python -c "import json;print(json.load(open('docs/sched_ref.json'))['points'][0]['n_groups']['w'])")
 REF_FT=$(python -c "print(max(30000//$NG,50))")
