@@ -358,3 +358,45 @@ def test_sobol_codebook_kind_survives_bitstream(tiny_artifact, tmp_path):
     codec_bad, _ = init_codec(art_sobol, n_rows=2, codebook_kind="threefry")
     y_bad = np.asarray(decode(codec_bad, indices, Xj, cfg))
     assert not np.array_equal(y_bad, res.reconstruction)
+
+
+def test_finetune_chunked_to_1000_epoch_programs(monkeypatch):
+    """Finetunes above 1000 epochs must split into <=1000-epoch optimize
+    programs (a single 7500-epoch program crashed the TPU worker — see
+    progressive.optimize_chunked)."""
+    import jax.numpy as jnp
+
+    from recombiner_tpu.coding import progressive
+    from recombiner_tpu.coding.encoder import init_codec
+    from recombiner_tpu.config import TINY
+    from recombiner_tpu.data.synthetic import synthetic_dataset
+    from recombiner_tpu.priors.trainer import em_train
+    from recombiner_tpu.priors.artifact import build_prior_artifact
+    import jax
+
+    X, Y = synthetic_dataset(TINY, 2, seed=0)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+    res = em_train(jax.random.key(0), TINY, Xj, Yj, max_bitrate=0.2,
+                   n_em_iters=1, first_epochs=4, later_epochs=2, lr=2e-3)
+    art = build_prior_artifact(res.state, res.priors, res.kl_beta, TINY,
+                               codebook_seed=0)
+    codec, state = init_codec(art, n_rows=2)
+
+    calls = []
+
+    def spy(codec_, state_, X_, Y_, key_, **kw):
+        # chunk arithmetic only: skip the actual optimization work
+        calls.append(kw["n_epochs"])
+        if kw.get("return_opt_state"):
+            return state_, kw.get("opt_state")
+        return state_
+
+    monkeypatch.setattr(progressive, "optimize", spy)
+    progressive.compress(codec, state, Xj, Yj, TINY, jax.random.key(1),
+                         n_optimize_epochs=0, finetune_overrides={"w": 2300},
+                         sample_size=1)
+    assert calls, "finetunes ran"
+    assert max(calls) <= 1000
+    n_groups = codec.meta("w").n_groups
+    # each group's 2300-epoch finetune = chunks summing exactly to 2300
+    assert sum(calls) == n_groups * 2300
