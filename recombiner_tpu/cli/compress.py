@@ -51,6 +51,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from recombiner_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
     maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     art = load_prior_artifact(args.prior_path)
@@ -63,15 +66,33 @@ def main(argv=None):
     X, Y = load_test_set(args.test_dir, args.test_idx, cfg)
     n_rows = X.shape[0]
     codec, state = init_codec(art, n_rows)
+    from recombiner_tpu.io.checkpoint import prior_fingerprint
+
+    fingerprint = prior_fingerprint(art)
+    resume = {}
     if args.state_path:
         from recombiner_tpu.io.atomic import load_snapshot_or_none
-        from recombiner_tpu.io.encode_state import load_encode_state
+        from recombiner_tpu.io.encode_state import load_encode_state_full
 
-        loaded, reason = load_snapshot_or_none(args.state_path, load_encode_state)
+        from recombiner_tpu.io.encode_state import FingerprintMismatch
+
+        try:
+            loaded, reason = load_snapshot_or_none(
+                args.state_path, lambda p: load_encode_state_full(p, fingerprint)
+            )
+        except FingerprintMismatch as e:
+            # snapshot from a different prior: refusing beats silently wrong
+            # bitrate/distortion (frozen samples index the old codebooks)
+            loaded, reason = None, str(e)
         if reason:
             print(f"WARNING: {reason}; encoding from scratch", flush=True)
         if loaded is not None:
-            state = loaded
+            state, header, opt_leaves = loaded
+            resume = {
+                "phase1_epochs_done": int(header.get("phase1_epochs_done", 0)),
+                "phase1_opt_leaves": opt_leaves,
+                "resume_key": header.get("resume_key"),
+            }
             print(f"Resumed encode state from {args.state_path}", flush=True)
 
     # data-parallel encode: posterior rows shard over the device mesh (same
@@ -82,6 +103,8 @@ def main(argv=None):
     Y = shard_rows(jnp.asarray(Y), mesh)
     codec = shard_rows(codec, mesh)
     state = shard_rows(state, mesh)
+    if resume.get("phase1_opt_leaves") is not None:
+        resume["phase1_opt_leaves"] = shard_rows(resume["phase1_opt_leaves"], mesh)
     if mesh.devices.size > 1:
         print(f"Encoding on {mesh.devices.size} devices (rows sharded)", flush=True)
     args.remat = resolve_remat(
@@ -112,6 +135,8 @@ def main(argv=None):
         state_path=args.state_path,
         save_every=args.save_every,
         remat=args.remat,
+        state_extra={"prior_fingerprint": fingerprint},
+        **resume,
     )
 
     if not is_primary():  # multi-host: host 0 owns the outputs

@@ -76,6 +76,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from recombiner_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
     maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     cfg = get_config(args.dataset)
@@ -173,25 +176,46 @@ def main(argv=None):
                 os.makedirs(args.save_prior_dir, exist_ok=True)
                 save_prior_artifact(f"{args.save_prior_dir}/{prior_name}", art)
         codec, state = init_codec(art, n_rows=Xte.shape[0])
+        from recombiner_tpu.io.checkpoint import prior_fingerprint
+
+        fingerprint = prior_fingerprint(art)
         state_path = None
+        resume = {}
         if args.state_dir is not None:
             import os
 
             from recombiner_tpu.io.atomic import load_snapshot_or_none
-            from recombiner_tpu.io.encode_state import load_encode_state
+            from recombiner_tpu.io.encode_state import load_encode_state_full
 
             os.makedirs(args.state_dir, exist_ok=True)
             state_path = os.path.join(
                 args.state_dir, f"encode_state_{cfg.name}_{max_bitrate:g}"
             )
-            loaded, reason = load_snapshot_or_none(state_path, load_encode_state)
+            from recombiner_tpu.io.encode_state import FingerprintMismatch
+
+            try:
+                loaded, reason = load_snapshot_or_none(
+                    state_path, lambda p: load_encode_state_full(p, fingerprint)
+                )
+            except FingerprintMismatch as e:
+                # different prior than the snapshot's: its frozen samples
+                # index the OLD codebooks — resuming would silently corrupt
+                # the bitstream. Start over (loud), don't crash-loop babysit.
+                loaded, reason = None, str(e)
             if reason:
                 print(f"WARNING: {reason}; encoding from scratch", flush=True)
             if loaded is not None:
-                state = loaded
+                state, header, opt_leaves = loaded
+                resume = {
+                    "phase1_epochs_done": int(header.get("phase1_epochs_done", 0)),
+                    "phase1_opt_leaves": opt_leaves,
+                    "resume_key": header.get("resume_key"),
+                }
                 print(f"Resumed encode state from {state_path}", flush=True)
         codec = shard_rows(codec, mesh)
         state = shard_rows(state, mesh)
+        if resume.get("phase1_opt_leaves") is not None:
+            resume["phase1_opt_leaves"] = shard_rows(resume["phase1_opt_leaves"], mesh)
         enc = compress(
             codec, state, Xte_s, Yte_s, cfg,
             jax.random.key(args.seed + 1),
@@ -204,6 +228,8 @@ def main(argv=None):
             verbose=True,
             remat=remat,
             state_path=state_path,
+            state_extra={"prior_fingerprint": fingerprint},
+            **resume,
         )
         point = {
             "target_bitrate": max_bitrate,

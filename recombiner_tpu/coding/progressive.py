@@ -87,8 +87,21 @@ def compress(
     state_path: Optional[str] = None,
     save_every: int = 10,
     remat: bool = False,
+    state_extra: Optional[Dict] = None,
+    phase1_epochs_done: int = 0,
+    phase1_opt_leaves=None,
+    resume_key=None,
+    chunk_epochs: int = 1000,
 ) -> EncodeResult:
-    """Full encode: posterior optimization + progressive coding of all levels."""
+    """Full encode: posterior optimization + progressive coding of all levels.
+
+    Resume contract (all snapshot fields written by this function itself via
+    io.encode_state): ``phase1_epochs_done``/``phase1_opt_leaves``/
+    ``resume_key`` restore a mid-phase-1 optimization (the 30,000-epoch run
+    the reference cannot persist at all — its encode state dies with the
+    process, test_model.py:700-803); a state whose ``compressed`` masks are
+    partially set resumes the group-coding loop. ``state_extra`` is merged
+    into every snapshot header (callers put the prior fingerprint there)."""
     timings = {}
     t0 = time.perf_counter()
 
@@ -110,10 +123,16 @@ def compress(
     # chunked at 1000 epochs runs clean (repro 2026-08-17, kept the fix).
     # Adam state carries across chunks, so the math equals one long call
     # (modulo per-epoch RNG stream splits, which are encoder-side only).
-    def optimize_chunked(state, key, n_epochs, label=None):
-        chunk = 1000
-        done = 0
-        opt_state = None
+    def optimize_chunked(state, key, n_epochs, label=None,
+                         done=0, opt_state=None, snapshot_path=None):
+        """Returns (state, advanced key): the outer key chain continues from
+        where the chunks left off, so finetune substreams never re-derive
+        (key, sub) pairs phase-1 already consumed.
+
+        With ``snapshot_path``, persists (state, Adam state, epochs_done,
+        key) after every chunk — a kill mid-phase-1 loses at most one
+        ~1000-epoch chunk on resume."""
+        chunk = chunk_epochs
         while done < n_epochs:
             n = min(chunk, n_epochs - done)
             key, sub = jax.random.split(key)
@@ -124,17 +143,49 @@ def compress(
             )
             done += n
             sync(state.w.kl_beta)  # flow control: one in-flight chunk (small fetch)
+            if snapshot_path is not None:
+                from recombiner_tpu.io.encode_state import save_encode_state
+
+                save_encode_state(
+                    snapshot_path, state,
+                    extra={
+                        "phase1_epochs_done": done,
+                        "resume_key": np.asarray(
+                            jax.random.key_data(key)).tolist(),
+                        **(state_extra or {}),
+                    },
+                    opt_leaves=jax.tree_util.tree_leaves(opt_state),
+                )
             if verbose and label is not None:
                 # every chunk: the log doubles as the liveness signal for
                 # stall watchdogs (scripts/babysit.py) — chunks are synced,
                 # so each line means real device progress
                 print(f"  {label} {done}/{n_epochs} epochs "
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
-        return state
+        return state, key
 
-    if n_optimize_epochs > 0 and not resuming:
-        state = optimize_chunked(state, key, n_optimize_epochs, label="optimize")
-        key, _ = jax.random.split(key, 2)
+    if resume_key is not None:
+        key = jax.random.wrap_key_data(jnp.asarray(resume_key, jnp.uint32))
+    if n_optimize_epochs > phase1_epochs_done and not resuming:
+        opt_state0 = None
+        if phase1_opt_leaves is not None:
+            import optax
+
+            from recombiner_tpu.coding.encoder import _trainables
+
+            treedef = jax.tree_util.tree_structure(
+                optax.adam(lr).init(_trainables(state))
+            )
+            opt_state0 = jax.tree_util.tree_unflatten(treedef, phase1_opt_leaves)
+            if verbose:
+                print(
+                    f"Resuming phase-1 optimization at {phase1_epochs_done}/"
+                    f"{n_optimize_epochs} epochs", flush=True)
+        state, key = optimize_chunked(
+            state, key, n_optimize_epochs, label="optimize",
+            done=phase1_epochs_done, opt_state=opt_state0,
+            snapshot_path=state_path,
+        )
         sync(state.w.q.loc)  # true sync: timings must not lie on the tunnel
     timings["optimize_s"] = time.perf_counter() - t0
 
@@ -184,7 +235,7 @@ def compress(
                 # Fresh Adam per group (reference: fresh optimizer each
                 # finetune) — optimize_chunked threads opt_state across its
                 # internal chunks only.
-                state = optimize_chunked(state, sub, n_ft)
+                state, _ = optimize_chunked(state, sub, n_ft)
             if multi_device:
                 # utils.timing.sync (device_get), NOT block_until_ready: the
                 # latter does not synchronize on this image's axon TPU
@@ -208,7 +259,12 @@ def compress(
             if state_path is not None and (step_i + 1) % save_every == 0:
                 from recombiner_tpu.io.encode_state import save_encode_state
 
-                save_encode_state(state_path, state, extra={"level": level, "step": step_i})
+                save_encode_state(
+                    state_path, state,
+                    extra={"level": level, "step": step_i,
+                           "phase1_epochs_done": n_optimize_epochs,
+                           **(state_extra or {})},
+                )
     sync(state.w.indices)  # true sync: timings must not lie on the tunnel
     timings["code_s"] = time.perf_counter() - t1
 

@@ -74,9 +74,19 @@ def load_wav_clip(path: str, cfg: ModalityConfig) -> Tuple[np.ndarray, np.ndarra
     rate, wav = wavfile.read(path)
     if rate != SAMPLE_RATE:
         raise ValueError(f"{path}: sample rate {rate}, expected {SAMPLE_RATE}")
-    if wav.dtype.kind == "i":  # PCM -> [-1, 1]
+    if wav.ndim == 2:  # multi-channel: take channel 0 (reference clips are mono)
+        wav = wav[:, 0]
+    elif wav.ndim != 1:
+        raise ValueError(f"{path}: unsupported WAV shape {wav.shape}")
+    if wav.dtype == np.uint8:  # 8-bit WAV is unsigned, midpoint 128
+        wav = (wav.astype(np.float32) - 128.0) / 128.0
+    elif wav.dtype.kind == "i":  # signed PCM -> [-1, 1]
         wav = wav.astype(np.float32) / float(np.iinfo(wav.dtype).max)
-    wav = np.asarray(wav, np.float32).reshape(-1)
+    elif wav.dtype.kind != "f":
+        raise ValueError(f"{path}: unsupported WAV dtype {wav.dtype}")
+    # int PCM divides by iinfo.max, so full-scale negative lands slightly
+    # below -1; clamp so (wav+1)/2 stays in [0, 1]
+    wav = np.clip(np.asarray(wav, np.float32), -1.0, 1.0).reshape(-1)
     n = cfg.patches_per_datapoint * cfg.pixel_sizes[0] if cfg.patch else cfg.pixel_sizes[0]
     if wav.shape[0] < n:
         raise ValueError(f"{path}: {wav.shape[0]} samples, need {n}")

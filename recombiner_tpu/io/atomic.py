@@ -44,12 +44,18 @@ def load_snapshot_or_none(
     reported, renamed out of the way so the next snapshot can land, and
     treated as absent — losing ≤10 iterations/groups of rework beats a
     crash-loop."""
+    import zipfile
+
     final = _npz_path(path)
     if not os.path.exists(final):
         return None, None
     try:
         return loader(path), None
-    except Exception as e:  # BadZipFile, KeyError, truncation...
+    except (zipfile.BadZipFile, EOFError, KeyError) as e:
+        # corruption-shaped only (torn/truncated npz, missing members).
+        # Anything else — version mismatches, fingerprint mismatches,
+        # transient memory errors — re-raises: quarantining a VALID snapshot
+        # for a transient reason silently restarts hours of work.
         quarantine = final + ".corrupt"
         try:
             os.replace(final, quarantine)

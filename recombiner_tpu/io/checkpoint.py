@@ -81,6 +81,30 @@ def _unpack_level(prefix: str, z) -> LevelArtifact:
     )
 
 
+def prior_fingerprint(art: PriorArtifact) -> str:
+    """Short content hash identifying a prior artifact.
+
+    Stored in encode-state snapshot headers so that resuming an encode
+    silently against a *different* prior (e.g. relaunch without
+    --load_prior_dir retrains EM, changing codebooks/priors while the
+    snapshot's frozen samples/indices were drawn under the old ones) is
+    detected instead of yielding subtly wrong bitstreams."""
+    import hashlib
+
+    hsh = hashlib.sha256()
+    hsh.update(
+        f"{art.config.name}|{art.codebook_seed}|{art.codebook_kind}|{art.kl_beta:.9e}".encode()
+    )
+    for name, lv in sorted(art.levels.items()):
+        hsh.update(name.encode())
+        hsh.update(np.ascontiguousarray(lv.p_loc, np.float32).tobytes())
+        hsh.update(np.ascontiguousarray(lv.p_scale, np.float32).tobytes())
+        hsh.update(np.ascontiguousarray(lv.grouping.param2group, np.int32).tobytes())
+    for a in art.A:
+        hsh.update(np.ascontiguousarray(a, np.float32).tobytes())
+    return hsh.hexdigest()[:16]
+
+
 def save_prior_artifact(path: str, art: PriorArtifact) -> None:
     header = {
         "format_version": FORMAT_VERSION,

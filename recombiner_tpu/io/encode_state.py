@@ -20,12 +20,21 @@ from recombiner_tpu.coding.encoder import CodecState, LevelState
 from recombiner_tpu.io.atomic import atomic_savez
 from recombiner_tpu.models.gaussian import Gaussian
 
-STATE_VERSION = 1
+STATE_VERSION = 2
 
 _FIELDS = ("frozen_mask", "frozen_val", "kl_beta", "compressed", "indices")
 
 
-def save_encode_state(path: str, state: CodecState, *, extra: Optional[dict] = None) -> None:
+def save_encode_state(
+    path: str,
+    state: CodecState,
+    *,
+    extra: Optional[dict] = None,
+    opt_leaves: Optional[list] = None,
+) -> None:
+    """``opt_leaves``: flattened optimizer-state arrays (jax.tree_util leaf
+    order of optax.adam's init over the trainables) — saved during phase-1
+    so a mid-optimization resume continues the same Adam trajectory."""
     arrays = {}
     levels = []
     for name in ("w", "h", "hh"):
@@ -41,18 +50,41 @@ def save_encode_state(path: str, state: CodecState, *, extra: Optional[dict] = N
         arrays[f"{name}/log_scale"] = fetch_global(ls.q.log_scale)
         for f in _FIELDS:
             arrays[f"{name}/{f}"] = fetch_global(getattr(ls, f))
-    header = {"version": STATE_VERSION, "levels": levels, **(extra or {})}
+    if opt_leaves is not None:
+        from recombiner_tpu.parallel.launch import fetch_global
+
+        for i, leaf in enumerate(opt_leaves):
+            arrays[f"__opt__/{i}"] = fetch_global(leaf)
+    header = {
+        "version": STATE_VERSION,
+        "levels": levels,
+        "n_opt_leaves": 0 if opt_leaves is None else len(opt_leaves),
+        **(extra or {}),
+    }
     arrays["__header__"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
     # atomic: snapshot writers get SIGKILLed by stall watchdogs; a torn npz
     # would crash-loop every resume (io/atomic.py)
     atomic_savez(path, arrays)
 
 
-def load_encode_state(path: str) -> CodecState:
+def load_encode_state_full(path: str, expect_fingerprint: Optional[str] = None):
+    """-> (CodecState, header dict, opt_leaves list-or-None).
+
+    ``expect_fingerprint``: the current prior artifact's
+    io.checkpoint.prior_fingerprint; a snapshot written under a different
+    prior is refused (its frozen samples/indices index the OLD codebooks —
+    resuming it would silently corrupt the bitstream)."""
     z = np.load(path if str(path).endswith(".npz") else path + ".npz")
     header = json.loads(bytes(z["__header__"]).decode())
     if header["version"] > STATE_VERSION:
         raise ValueError(f"encode state version {header['version']} unsupported")
+    snap_fp = header.get("prior_fingerprint")
+    if expect_fingerprint is not None and snap_fp is not None and snap_fp != expect_fingerprint:
+        raise FingerprintMismatch(
+            f"encode snapshot {path} was written under prior {snap_fp}, current "
+            f"prior is {expect_fingerprint}; refusing to resume (delete the "
+            "snapshot or reload the matching prior)"
+        )
 
     def level(name: str) -> Optional[LevelState]:
         if name not in header["levels"]:
@@ -66,4 +98,17 @@ def load_encode_state(path: str) -> CodecState:
             **kw,
         )
 
-    return CodecState(w=level("w"), h=level("h"), hh=level("hh"))
+    n_opt = int(header.get("n_opt_leaves", 0))
+    opt_leaves = (
+        [jnp.asarray(z[f"__opt__/{i}"]) for i in range(n_opt)] if n_opt else None
+    )
+    return CodecState(w=level("w"), h=level("h"), hh=level("hh")), header, opt_leaves
+
+
+class FingerprintMismatch(ValueError):
+    """Snapshot belongs to a different prior artifact; never quarantined by
+    io.atomic.load_snapshot_or_none (it is not corruption)."""
+
+
+def load_encode_state(path: str) -> CodecState:
+    return load_encode_state_full(path)[0]

@@ -63,8 +63,14 @@ def main() -> int:
             if child.returncode == 0:
                 print("[babysit] child finished OK", flush=True)
                 return 0
-            print(f"[babysit] child exited rc={child.returncode}; restarting in 30s", flush=True)
-            time.sleep(30)
+            # a nonzero exit is usually the TPU worker crashing, which
+            # wedges the device grant just like a killed client (~10 min,
+            # CLAUDE.md) — relaunching after 30 s lands inside the wedge and
+            # burns a restart; cool down the full grant-recovery window
+            print(
+                f"[babysit] child exited rc={child.returncode}; "
+                f"cooling down {args.cooldown:.0f}s before relaunch", flush=True)
+            time.sleep(args.cooldown)
         else:
             print(f"[babysit] cooling down {args.cooldown:.0f}s (device grant)", flush=True)
             time.sleep(args.cooldown)

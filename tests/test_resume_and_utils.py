@@ -166,6 +166,148 @@ def test_train_state_roundtrip_and_em_resume(tmp_path):
     assert np.isfinite(res2.elbo_history[-1]["mse"])
 
 
+def test_phase1_snapshot_resume_bit_identical(artifact, tmp_path):
+    """Kill-and-restart MID-phase-1: the resumed run (restored posteriors,
+    Adam state, epoch counter, and RNG key) must reproduce the uninterrupted
+    run bit-for-bit — losing at most one optimization chunk. The reference
+    has nothing here: its encode state dies with the process
+    (test_model.py:700-803)."""
+    from recombiner_tpu.io.encode_state import load_encode_state_full
+
+    cfg, art, X, Y = artifact
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+
+    # uninterrupted run: 10 phase-1 epochs in 2 chunks of 5
+    codec, state_a = init_codec(art, n_rows=2)
+    res_a = compress(
+        codec, state_a, Xj, Yj, cfg, jax.random.key(5),
+        n_optimize_epochs=10, lr=2e-3, sample_size=2,
+        finetune_overrides={"w": 1}, chunk_epochs=5,
+    )
+
+    # interrupted run: crash after the first chunk (simulated by raising out
+    # of the snapshot hook via a 1-chunk schedule), resume from the snapshot
+    codec, state_b = init_codec(art, n_rows=2)
+    p = str(tmp_path / "enc_phase1")
+
+    class Boom(RuntimeError):
+        pass
+
+    import recombiner_tpu.io.encode_state as es_mod
+
+    orig_save = es_mod.save_encode_state
+    calls = {"n": 0}
+
+    def crash_after_first(path, state, **kw):
+        orig_save(path, state, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Boom()
+
+    es_mod.save_encode_state = crash_after_first
+    try:
+        with pytest.raises(Boom):
+            compress(
+                codec, state_b, Xj, Yj, cfg, jax.random.key(5),
+                n_optimize_epochs=10, lr=2e-3, sample_size=2,
+                finetune_overrides={"w": 1}, chunk_epochs=5, state_path=p,
+            )
+    finally:
+        es_mod.save_encode_state = orig_save
+
+    state_l, header, opt_leaves = load_encode_state_full(p)
+    assert header["phase1_epochs_done"] == 5
+    assert opt_leaves is not None and len(opt_leaves) > 0
+    res_b = compress(
+        codec, state_l, Xj, Yj, cfg, jax.random.key(5),
+        n_optimize_epochs=10, lr=2e-3, sample_size=2,
+        finetune_overrides={"w": 1}, chunk_epochs=5,
+        phase1_epochs_done=int(header["phase1_epochs_done"]),
+        phase1_opt_leaves=opt_leaves,
+        resume_key=header["resume_key"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_a.state.w.indices), np.asarray(res_b.state.w.indices)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.state.w.q.loc), np.asarray(res_b.state.w.q.loc), rtol=0, atol=0
+    )
+
+
+def test_fingerprint_guards_resume(artifact, tmp_path):
+    """An encode snapshot written under a different prior must be refused at
+    resume (ADVICE round 1: silent acceptance yields subtly wrong
+    bitrate/distortion), and must NOT be quarantined as corrupt."""
+    import dataclasses
+
+    from recombiner_tpu.io.atomic import load_snapshot_or_none
+    from recombiner_tpu.io.checkpoint import prior_fingerprint
+    from recombiner_tpu.io.encode_state import (
+        FingerprintMismatch,
+        load_encode_state_full,
+    )
+
+    cfg, art, X, Y = artifact
+    fp = prior_fingerprint(art)
+    codec, state = init_codec(art, n_rows=2)
+    p = str(tmp_path / "enc_fp")
+    save_encode_state(p, state, extra={"prior_fingerprint": fp})
+
+    # same prior: loads fine
+    st, header, _ = load_encode_state_full(p, fp)
+    assert header["prior_fingerprint"] == fp
+
+    # perturbed prior: different fingerprint, load refused, file kept
+    art2 = dataclasses.replace(
+        art, w=dataclasses.replace(art.w, p_loc=art.w.p_loc + 0.1)
+    )
+    fp2 = prior_fingerprint(art2)
+    assert fp2 != fp
+    with pytest.raises(FingerprintMismatch):
+        load_encode_state_full(p, fp2)
+    with pytest.raises(FingerprintMismatch):
+        load_snapshot_or_none(p, lambda q: load_encode_state_full(q, fp2))
+    assert os.path.exists(p + ".npz")  # not quarantined: it isn't corrupt
+
+    # missing fingerprint in an old snapshot: accepted (back compat)
+    save_encode_state(p, state)
+    load_encode_state_full(p, fp2)
+
+
+def test_load_wav_clip_dtypes(tmp_path):
+    """uint8 / int16 / float32 / stereo WAVs all normalize to the same
+    [0, 1] domain (reference preprocessing data/audio.py:96-99)."""
+    from scipy.io import wavfile
+
+    from recombiner_tpu.config import get_config
+    from recombiner_tpu.data.audio import load_wav_clip
+
+    cfg = get_config("tiny_audio")
+    n = cfg.patches_per_datapoint * cfg.pixel_sizes[0] if cfg.patch else cfg.pixel_sizes[0]
+    t = np.linspace(0, 1, max(n, 64), endpoint=False)
+    sig = (0.5 * np.sin(2 * np.pi * 5 * t)).astype(np.float32)
+
+    paths = {}
+    wavfile.write(str(tmp_path / "f32.wav"), 16000, sig)
+    wavfile.write(str(tmp_path / "i16.wav"), 16000, (sig * 32767).astype(np.int16))
+    wavfile.write(
+        str(tmp_path / "u8.wav"), 16000, (sig * 127 + 128).clip(0, 255).astype(np.uint8)
+    )
+    wavfile.write(str(tmp_path / "stereo.wav"), 16000, np.stack([sig, sig * 0], 1))
+
+    ref = load_wav_clip(str(tmp_path / "f32.wav"), cfg)[1]
+    for name, tol in (("i16", 1e-3), ("u8", 1e-2), ("stereo", 1e-6)):
+        _, y = load_wav_clip(str(tmp_path / f"{name}.wav"), cfg)
+        assert np.all((y >= 0) & (y <= 1))
+        np.testing.assert_allclose(y, ref, atol=tol)
+
+    # full-scale negative int16 must clamp to 0, not below
+    wavfile.write(str(tmp_path / "full.wav"), 16000,
+                  np.full(max(n, 64), -32768, np.int16))
+    _, y = load_wav_clip(str(tmp_path / "full.wav"), cfg)
+    assert float(y.min()) == 0.0
+
+
 def test_atomic_snapshot_and_corrupt_tolerance(tmp_path):
     from recombiner_tpu.io.atomic import atomic_savez, load_snapshot_or_none
 
