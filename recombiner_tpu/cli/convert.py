@@ -34,6 +34,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from recombiner_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
     if args.to_reference:
         if not args.artifact:

@@ -32,6 +32,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from recombiner_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
     art = load_prior_artifact(args.prior_path)
     cfg = art.config

@@ -48,6 +48,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from recombiner_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
     maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     cfg = get_config(args.dataset)

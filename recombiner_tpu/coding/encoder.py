@@ -276,6 +276,7 @@ def _effective(ls: LevelState) -> Tuple[jax.Array, jax.Array]:
     return loc, scale
 
 
+@partial(jax.jit, static_argnames=("cfg", "sample_size"))
 def predict(
     codec: Codec,
     state: CodecState,
@@ -287,6 +288,12 @@ def predict(
     """Render the INR from the current (partially coded) posteriors.
 
     X: (R, P, fourier_dim) -> (R, S, P, out_dim). Gather-free.
+
+    Jitted at this boundary: the eager first call costs ~100 s of per-op
+    compilation on CPU and is a dispatch storm on the remote TPU tunnel
+    (measured round 2); inner callers (optimize's loss_fn) inline it into
+    their own jit, so the annotation only changes the eager call sites
+    (distortion logging, decode).
     """
     S = sample_size
     loc, scale = _effective(state.w)
@@ -339,9 +346,13 @@ def _to_coded(x: jax.Array, meta: LevelMeta) -> jax.Array:
     return x
 
 
+@jax.jit
 def group_kl(ls: LevelState, meta: LevelMeta) -> jax.Array:
     """Per-(coded row, group) KL in nats via on-device segment-sum — the
-    reference's host-side np.bincount loop (test_model.py:383-402)."""
+    reference's host-side np.bincount loop (test_model.py:383-402).
+
+    Jitted for the eager call sites (kl_bits_summary, encode-loop logging);
+    jitted callers inline it."""
     kl = _to_coded(level_kl(ls, meta), meta)  # (R, D) coded
     return jax.ops.segment_sum(kl.T, meta.group_idx, num_segments=meta.n_groups).T
 
@@ -620,6 +631,7 @@ def decode_state(codec: Codec, indices: dict, cfg: ModalityConfig) -> CodecState
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def decode(
     codec: Codec,
     indices: dict,
@@ -629,6 +641,8 @@ def decode(
     """indices {'w': (R,G), 'h': ..., 'hh': ...} -> reconstruction (R, P, out).
 
     Deterministic: every posterior is a point mass at the decoded sample.
+    Jitted: this is the receiver/serving path (one compiled program per
+    geometry), and the encode-side final reconstruction.
     """
     state = decode_state(codec, indices, cfg)
     y = predict(codec, state, X, jax.random.key(0), cfg, sample_size=1)

@@ -1,0 +1,30 @@
+"""In-process platform selection for CLI entry points.
+
+Measured pathology on this image (2026-08-17): with ``JAX_PLATFORMS=cpu``
+set as an ENVIRONMENT variable, the first host transfer of any jax array
+(``np.asarray``/``device_get``) blocks for 1-5 minutes — the sitecustomize-
+registered axon TPU plugin still interposes on the transfer path. Setting
+the platform IN-PROCESS via ``jax.config.update("jax_platforms", ...)``
+(what tests/conftest.py does) is clean.
+
+CLIs therefore honor ``RECOMBINER_TPU_PLATFORM=cpu`` (or any platform
+string) by applying the config update before the first jax operation:
+
+    RECOMBINER_TPU_PLATFORM=cpu python -m recombiner_tpu.cli.rd_sweep ...
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def apply_platform_override() -> None:
+    """Apply RECOMBINER_TPU_PLATFORM via jax.config (no-op when unset).
+
+    Must run before the first jax operation of the process; importing jax
+    is fine (this image imports it at interpreter start anyway)."""
+    platform = os.environ.get("RECOMBINER_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
