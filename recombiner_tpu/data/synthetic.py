@@ -32,6 +32,65 @@ def smooth_signal(
     return out.astype(np.float32)
 
 
+# Long-term average spectrum of the reference's own LibriSpeech clip
+# (examples/ground_truth.wav), measured with 1024-pt Hann frames at 50%
+# overlap, averaged into 24 log-spaced bands 60 Hz - 8 kHz, dB re max band.
+# Round-1's unshaped generator was 10-17 dB too bright above 1 kHz
+# (docs/RD_AUDIO.md LTAS table), so priors trained on it spent rate on bands
+# real speech barely uses; every generated clip is now shaped to this
+# envelope (with small per-clip jitter) before normalization.
+_LTAS_CENTERS_HZ = np.array([
+    66.4, 81.5, 99.9, 122.5, 150.2, 184.1, 225.8, 276.8, 339.4, 416.2,
+    510.3, 625.7, 767.2, 940.7, 1153.4, 1414.2, 1734.0, 2126.1, 2606.9,
+    3196.4, 3919.3, 4805.5, 5892.3, 7224.7,
+])
+_LTAS_DB = np.array([
+    -17.51, -6.44, -0.05, -1.14, -8.28, -0.74, 0.0, -5.24, -5.51, -8.65,
+    -8.76, -9.76, -14.22, -17.48, -17.86, -17.08, -22.04, -27.45, -32.33,
+    -32.98, -29.35, -27.38, -33.8, -36.09,
+])
+
+
+def _shape_to_ltas(
+    rng: np.random.Generator,
+    wav: np.ndarray,
+    sample_rate: int,
+    jitter_db: float = 2.0,
+) -> np.ndarray:
+    """FFT-domain equalization of ``wav`` toward the real-speech LTAS above.
+
+    Measures the clip's own band powers on the same log grid and applies the
+    smooth (log-frequency interpolated) correction, leaving overall level to
+    the caller's peak normalization. Clips too short to resolve the band
+    grid (tiny test geometries) are returned unshaped."""
+    n = wav.shape[0]
+    spec = np.fft.rfft(wav)
+    freqs = np.fft.rfftfreq(n, 1.0 / sample_rate)
+    power = np.abs(spec) ** 2
+    edges = np.geomspace(60.0, min(8000.0, sample_rate / 2), 25)
+    own_db, centers, target_db = [], [], []
+    jitter = rng.uniform(-jitter_db, jitter_db, _LTAS_DB.shape[0])
+    for b, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        m = (freqs >= lo) & (freqs < hi)
+        if not m.any():
+            continue
+        p = power[m].mean()
+        if p <= 0:
+            continue
+        own_db.append(10.0 * np.log10(p))
+        centers.append(np.sqrt(lo * hi))
+        target_db.append(_LTAS_DB[b] + jitter[b])
+    if len(centers) < 4:
+        return wav
+    own_db = np.array(own_db)
+    target_db = np.array(target_db)
+    # mean-free correction: shape only, overall level unchanged
+    corr = (target_db - own_db) - (target_db - own_db).mean()
+    logf = np.log(np.maximum(freqs, centers[0]))
+    gain_db = np.interp(logf, np.log(centers), corr)
+    return np.fft.irfft(spec * 10.0 ** (gain_db / 20.0), n)
+
+
 def speech_like_clip(
     rng: np.random.Generator, n_samples: int, sample_rate: int = 16000
 ) -> np.ndarray:
@@ -101,6 +160,8 @@ def speech_like_clip(
     amp = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(2.5, 5.0) * t + rng.uniform(0, 2 * np.pi))
 
     wav = amp * (gate_v * voiced + gate_u * unvoiced)
+    # equalize toward the real clip's measured LTAS (see _shape_to_ltas)
+    wav = _shape_to_ltas(rng, wav, sample_rate)
     wav *= rng.uniform(0.3, 0.6) / max(np.abs(wav).max(), 1e-9)  # peak like real speech
     return (((wav + 1.0) / 2.0).astype(np.float32))[:, None]
 
