@@ -1,69 +1,94 @@
 """Headline benchmark: CIFAR-10 encode throughput on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": "cifar_encode_datapoints_per_sec", "value": ..., "unit": ...,
-   "vs_baseline": ..., "details": {...}}
+Prints a cumulative JSON line after EVERY completed section (the last line
+is the complete result; earlier lines carry "partial": true) so a truncated
+run still yields a parseable record — round 1's single-line-at-the-end
+design timed out in the driver window and shipped nothing (VERDICT.md).
 
-What is measured (all on the real chip, warm-exact-executable discipline —
-see CLAUDE.md):
+Budget discipline (the driver runs `python bench.py` under a timeout; the
+remote tunnel charges ~8 s for the FIRST execution of every compiled
+executable and ~20-40 s per jit compile — CLAUDE.md):
+  - one optimize executable is shared between the epoch-rate section and the
+    per-group host-overhead loop (same static args incl. return_opt_state);
+  - the host-overhead loop codes 16 groups, not all ~128;
+  - every section after the first checks a wall-clock deadline
+    (BENCH_DEADLINE_S, default 480) and is skipped — with its round-1
+    measured value substituted and labeled "assumed" — if over budget.
+
+What is measured (warm-exact-executable discipline, sync via device_get):
   1. encode epoch_s: steady-state S=5 posterior-optimization epoch, R=500;
-  2. code_step_s: one on-device A* coding step (all 500 rows);
+  2. code_step_s: one on-device A* coding step (all 500 rows at once);
   3. prior_epoch_s: steady-state S=1 prior-training epoch (BASELINE.md's
      "prior-training steps/sec" metric);
-  4. a COMPLETE reduced-schedule compress() (2,000 optimize epochs +
-     per-group finetunes + coding for every group), wall-clock — the
-     host-overhead cross-check on extrapolating from (1) and (2).
+  4. group_overhead_s: per-group fixed cost of the progressive loop
+     (dispatch two programs + the flow-control index fetch per group,
+     exactly compress()'s single-device pattern, progressive.py:174-195);
+  5. decode throughput (receiver/serving path).
 
-The headline value extrapolates the reference's FULL schedule (30,000
-optimize epochs + max(30000/n_groups, 50)-epoch finetunes,
-main_compression.py:148-162) from the measured rates, multiplied by the
-measured host-overhead factor from (4).
+Headline: datapoints/sec for the FULL reference encode schedule (30,000
+optimize epochs + max(30000/n_groups,50)-epoch finetunes,
+main_compression.py:148-162) from the measured rates:
+  total_s = total_epochs * epoch_s + n_groups * (code_step_s + group_overhead_s)
 
-Baselines (no GPU exists in this environment; the reference publishes no
-throughput numbers — BASELINE.md):
-  - vs_cpu_measured: the torch reference driven on this host (1 CPU core):
-    prior epoch 1.459 s at R=500, S=5 encode epoch = 4.6x that (both
-    measured round 1 by importing the reference).
-  - vs_baseline (headline): a DERIVED GPU-equivalent baseline. Assumption,
-    stated explicitly: a well-utilized data-center GPU runs this torch
-    workload ~150x faster than one CPU core (batched f32 matmul dominated;
-    A100-class). That puts the reference encode epoch at ~44.8 ms vs our
-    26.9 ms — the honest per-chip multiple is O(1), NOT O(100): both
-    implementations sit at the same K=32 matmul-occupancy roofline
-    (docs/PERF.md), so large per-chip multiples vs a GPU are physically
-    impossible at equal precision; the framework's throughput story is the
-    on-device coder (code_step_s below vs the reference's per-row host
-    loop) and DP scale-out (cli/compress.py --n_devices).
-
-Roofline context in details: analytic model FLOPs per epoch and achieved
-TF/s (the chip runs at ~85-90% of the K=32 MXU-occupancy ceiling).
+vs_baseline: ours / a DERIVED A100 best-case for the torch reference —
+an analytic roofline at the reference's exact shapes, not a guess
+(docs/PERF.md "GPU baseline derivation"):
+  - the reference is plain f32 torch: no tf32/autocast anywhere in the tree
+    (verified by grep), and torch.backends.cuda.matmul.allow_tf32 defaults
+    False => its (1024,32)@(32,32) INR chains and (1056^2) A-transforms run
+    on CUDA cores at <= 19.5 TF/s (A100 peak FP32);
+  - its upsampler convs go through cudnn, where allow_tf32 defaults True
+    => <= 156 TF/s (A100 TF32 tensor-core peak);
+  - the bound assumes 100% of both peaks AND a free coder (the reference's
+    coder is a sequential per-(row,group) loop with an .item() host sync
+    per step, test_model.py:501-533 — 64,000 round trips for 500 rows at
+    2 bpp, charged at ZERO here). Every assumption favors the reference;
+    the realistic band (35-50% GEMM efficiency at K=N=32) is in details.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-# torch reference on this host (measured round 1, see module docstring)
-REF_CPU_PRIOR_EPOCH_S = 1.459  # S=1, R=500
+# torch reference on this host (measured round 1 by importing the reference)
+REF_CPU_PRIOR_EPOCH_S = 1.459  # S=1, R=500, 1 CPU core
 REF_CPU_ENCODE_EPOCH_S = REF_CPU_PRIOR_EPOCH_S * 4.6  # S=5 measured ratio
 REF_CPU_CODE_STEP_S = 2.0  # 500-row host coding loop (conservative)
-GPU_SPEEDUP_ASSUMPTION = 150.0  # derived GPU baseline = CPU / this factor
+
+# A100 peaks for the derived GPU bound (see module docstring / docs/PERF.md)
+A100_FP32_TFS = 19.5  # CUDA-core FP32 (torch matmul default: TF32 off)
+A100_TF32_TFS = 156.0  # tensor-core TF32 (cudnn conv default: TF32 on)
+
+# round-1 measured fallbacks, substituted (and labeled) for deadline-skipped
+# sections so the headline is always computable
+FALLBACK = {"step_s": 0.0095, "prior_epoch_s": 0.0047, "group_overhead_s": 1.5}
 
 N_IMAGES = 500
 N_OPT_EPOCHS = 30000
 N_GROUPS_TARGET = 128  # 2 bpp
+N_MEAS = 60  # epochs per timed optimize call (shared executable)
+N_OVERHEAD_GROUPS = 16
+
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 480.0))
+T_START = time.perf_counter()
+
+
+def elapsed() -> float:
+    return time.perf_counter() - T_START
 
 
 def full_schedule_epochs(n_groups: int) -> int:
     return N_OPT_EPOCHS + n_groups * max(N_OPT_EPOCHS // n_groups, 50)
 
 
-def model_flops_per_encode_epoch(cfg, R: int, S: int) -> float:
-    """Analytic useful FLOPs of one S-sample ELBO epoch (fwd+bwd = 3x fwd):
-    INR pixel matmuls + A transforms + phase-decomposed upsampler convs."""
+def model_flops_per_encode_epoch(cfg, R: int, S: int):
+    """Analytic useful FLOPs of one S-sample ELBO epoch (fwd+bwd = 3x fwd),
+    split into (matmul, conv) — the split matters for the GPU bound because
+    torch runs them at different peaks (FP32 vs TF32)."""
     B = R * S
     P = cfg.n_pixels
     dims = cfg.net_dims
@@ -71,8 +96,6 @@ def model_flops_per_encode_epoch(cfg, R: int, S: int) -> float:
     a_mm = sum(
         2 * B * (dims[i + 1] * (dims[i] + 1)) ** 2 for i in range(cfg.n_layers)
     )
-    # upsampler: conv1 128->64 k5 at P/(s2*s3)^d, conv2 64->64 k3 at P/(s3)^d,
-    # conv3 64->16 k3 at P (phase-decomposed: each output computed once)
     s = cfg.layerwise_scale_factors
     d = cfg.data_dim
     k = lambda ksz: ksz**d
@@ -80,7 +103,7 @@ def model_flops_per_encode_epoch(cfg, R: int, S: int) -> float:
     sp2 = P // (int(np.prod([s[2]] * d)) if np.isscalar(s[2]) else int(np.prod(s[2])))
     sp1 = sp2 // (int(np.prod([s[1]] * d)) if np.isscalar(s[1]) else int(np.prod(s[1])))
     convs = 2 * B * (sp1 * k(5) * 128 * 64 + sp2 * k(3) * 64 * 64 + sp3 * k(3) * 64 * 16)
-    return 3.0 * (inr + a_mm + convs)
+    return 3.0 * (inr + a_mm), 3.0 * convs
 
 
 def main() -> None:
@@ -88,7 +111,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from recombiner_tpu.coding.encoder import encode_step, init_codec, optimize
-    from recombiner_tpu.coding.progressive import compress
     from recombiner_tpu.config import CIFAR
     from recombiner_tpu.coords import grid_fourier_features
     from recombiner_tpu.data.synthetic import synthetic_dataset
@@ -125,140 +147,188 @@ def main() -> None:
     Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
     codec, state = init_codec(art, n_rows=N_IMAGES)
     n_groups = int(codec.w.n_groups)
+    platform = jax.devices()[0].platform
 
-    # -------- 1. encode (S=5) epoch rate
-    # First execution of each compiled executable costs ~8 s on this tunnel
-    # and block_until_ready does not sync — warm the exact executable twice
-    # and sync via device_get (utils.timing.sync).
-    n_meas = 100
+    meas: dict = {}  # measured values
+    assumed: list = []  # names substituted from FALLBACK
+
+    flops_mm, flops_conv = model_flops_per_encode_epoch(cfg, N_IMAGES, 5)
+    flops_epoch = flops_mm + flops_conv
+
+    def emit(partial: bool) -> None:
+        """One cumulative JSON line from whatever has been measured so far."""
+        epoch_s = meas.get("epoch_s")
+        if epoch_s is None:
+            return  # nothing meaningful yet
+        step_s = meas.get("step_s", FALLBACK["step_s"])
+        prior_epoch_s = meas.get("prior_epoch_s", FALLBACK["prior_epoch_s"])
+        group_overhead_s = meas.get("group_overhead_s", FALLBACK["group_overhead_s"])
+
+        total_epochs = full_schedule_epochs(n_groups)
+        total_s = total_epochs * epoch_s + n_groups * (step_s + group_overhead_s)
+        ours_dp_s = N_IMAGES / total_s
+
+        # derived A100 best case for the torch reference (docstring):
+        # f32 matmuls at FP32 peak, convs at TF32 peak, coder free
+        ref_gpu_epoch_s = flops_mm / (A100_FP32_TFS * 1e12) + flops_conv / (
+            A100_TF32_TFS * 1e12
+        )
+        ref_gpu_total = total_epochs * ref_gpu_epoch_s
+        ref_gpu_dp_s = N_IMAGES / ref_gpu_total
+        # realistic band: 35-50% GEMM efficiency at K=N=32, coder still free
+        ref_gpu_dp_s_realistic = N_IMAGES / (total_epochs * (
+            flops_mm / (0.42 * A100_FP32_TFS * 1e12)
+            + flops_conv / (0.45 * A100_TF32_TFS * 1e12)
+        ))
+
+        ref_cpu_total = (
+            total_epochs * REF_CPU_ENCODE_EPOCH_S + n_groups * REF_CPU_CODE_STEP_S
+        )
+        ref_cpu_dp_s = N_IMAGES / ref_cpu_total
+
+        details = {
+            "epoch_s": round(epoch_s, 5),
+            "prior_epoch_s": round(prior_epoch_s, 5),
+            "prior_training_steps_per_sec": round(1.0 / prior_epoch_s, 2),
+            "code_step_s": round(step_s, 5),
+            "group_overhead_s": round(group_overhead_s, 4),
+            "n_groups": n_groups,
+            "full_schedule_epochs": total_epochs,
+            "encode_wall_full_schedule_s": round(total_s, 1),
+            "model_tflops_per_epoch": round(flops_epoch / 1e12, 4),
+            "achieved_tflops_per_sec": round(flops_epoch / epoch_s / 1e12, 2),
+            "roofline_note": (
+                "INR chain at K=32 MXU-occupancy ceiling (~3 TF/s useful); "
+                "convs dominate analytic FLOPs; see docs/PERF.md"
+            ),
+            "baseline_gpu_derived_dp_per_sec": round(ref_gpu_dp_s, 5),
+            "baseline_gpu_derivation": (
+                f"A100 best case: f32 matmuls ({flops_mm/1e9:.1f} GFLOP/epoch) at "
+                f"{A100_FP32_TFS} TF/s FP32 peak (reference sets no tf32/amp; torch "
+                f"matmul tf32 defaults off) + convs ({flops_conv/1e9:.1f} GFLOP) at "
+                f"{A100_TF32_TFS} TF/s TF32 peak (cudnn tf32 defaults on), 100% "
+                "efficiency, coder free (actually a sequential per-(row,group) "
+                ".item() host loop, test_model.py:501-533)"
+            ),
+            "baseline_gpu_realistic_dp_per_sec": round(ref_gpu_dp_s_realistic, 5),
+            "vs_baseline_realistic": round(ours_dp_s / ref_gpu_dp_s_realistic, 2),
+            "vs_cpu_measured": round(ours_dp_s / ref_cpu_dp_s, 1),
+            "baseline_cpu_measured_dp_per_sec": round(ref_cpu_dp_s, 6),
+            "decode_datapoints_per_sec": (
+                round(meas["decode_dp_s"], 1) if "decode_dp_s" in meas else None
+            ),
+            "assumed_from_round1": sorted(assumed),
+            "elapsed_s": round(elapsed(), 1),
+            "platform": platform,
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "cifar_encode_datapoints_per_sec",
+                    "value": round(ours_dp_s, 4),
+                    "unit": (
+                        "datapoints/s (500-image batch, 2bpp full reference "
+                        "schedule, 1 chip)"
+                    ),
+                    "vs_baseline": round(ours_dp_s / ref_gpu_dp_s, 2),
+                    "partial": partial,
+                    "details": details,
+                }
+            ),
+            flush=True,
+        )
+
+    # -------- 1. encode (S=5) epoch rate.
+    # Warm the exact executable twice (first execution costs ~8 s on this
+    # tunnel; block_until_ready does not sync — device_get does).
+    opt_kw = dict(cfg=cfg, n_epochs=N_MEAS, lr=2e-4, sample_size=5,
+                  opt_state=None, return_opt_state=True)
     for k in (1, 2):
-        state = optimize(codec, state, Xj, Yj, jax.random.key(k), cfg=cfg,
-                         n_epochs=n_meas, lr=2e-4, sample_size=5)
+        state, _ = optimize(codec, state, Xj, Yj, jax.random.key(k), **opt_kw)
         sync(state.w.q.loc)
     t0 = time.perf_counter()
-    state = optimize(codec, state, Xj, Yj, jax.random.key(3), cfg=cfg,
-                     n_epochs=n_meas, lr=2e-4, sample_size=5)
+    state, _ = optimize(codec, state, Xj, Yj, jax.random.key(3), **opt_kw)
     sync(state.w.q.loc)
-    epoch_s = (time.perf_counter() - t0) / n_meas
+    meas["epoch_s"] = (time.perf_counter() - t0) / N_MEAS
+    emit(partial=True)
 
-    # -------- 2. coding step rate
-    s = encode_step(codec, state, "w")
-    s = encode_step(codec, s, "w")
-    sync(s.w.indices)
+    # -------- 2. coding step rate (same codec/state shapes as the loop below)
+    state = encode_step(codec, state, "w")
+    state = encode_step(codec, state, "w")
+    sync(state.w.indices)
     t0 = time.perf_counter()
     n_steps = 5
     for _ in range(n_steps):
-        s = encode_step(codec, s, "w")
-    sync(s.w.indices)
-    step_s = (time.perf_counter() - t0) / n_steps
-    del s
+        state = encode_step(codec, state, "w")
+    sync(state.w.indices)
+    meas["step_s"] = (time.perf_counter() - t0) / n_steps
+    emit(partial=True)
 
-    # -------- 3. prior-training epoch rate (S=1)
-    pstate = init_prior_state(jax.random.key(0), cfg, N_IMAGES)
-    priors = init_priors(cfg)
-    feats = grid_fourier_features(cfg.pixel_sizes, cfg.fourier_dim)
-    Xp = jnp.broadcast_to(jnp.asarray(feats), (N_IMAGES, *feats.shape))
-
-    def prior_chunk(st, k):
-        st, _ = sgd_epochs(st, Xp, Yj, priors, jnp.float32(1e-8),
-                           jax.random.key(k), cfg=cfg, n_epochs=50, lr=2e-4)
-        return st
-
-    pstate = prior_chunk(pstate, 1)
-    pstate = prior_chunk(pstate, 2)
-    sync(pstate.w.loc)
-    t0 = time.perf_counter()
-    pstate = prior_chunk(pstate, 3)
-    sync(pstate.w.loc)
-    prior_epoch_s = (time.perf_counter() - t0) / 50
-    del pstate
-
-    # -------- 4. COMPLETE reduced-schedule compress (host overhead check)
-    # Run twice: the first (cold) wall includes jit compiles and this
-    # tunnel's ~8 s first-execution cost per executable — one-time costs
-    # that amortize to <5% over the 30k-epoch full schedule. The second
-    # (warm) run measures the true steady-state host overhead of the
-    # progressive loop, which is what scales with the schedule.
-    red_opt = 1500
-    red_ft = max(N_OPT_EPOCHS // n_groups, 50) // 20  # ~1/20 reference finetune
-    walls = []
-    for k in (7, 8):
-        codec2, state2 = init_codec(art, n_rows=N_IMAGES)
+    # -------- 3. per-group host overhead of the progressive loop: run
+    # N_OVERHEAD_GROUPS group steps exactly as compress() does single-device
+    # (encode_step -> finetune optimize -> flow-control index fetch,
+    # progressive.py:174-195), REUSING the already-warm executables, and
+    # subtract the known compute to isolate the fixed per-group cost.
+    if elapsed() < DEADLINE_S - 150:
         t0 = time.perf_counter()
-        compress(codec2, state2, Xj, Yj, cfg, jax.random.key(k),
-                 n_optimize_epochs=red_opt, finetune_overrides={"w": red_ft},
-                 sample_size=5)
-        walls.append(time.perf_counter() - t0)
-    cold_wall, measured_wall = walls
-    red_epochs = red_opt + n_groups * red_ft
-    predicted_wall = red_epochs * epoch_s + n_groups * step_s
-    host_factor = measured_wall / predicted_wall
+        for _ in range(N_OVERHEAD_GROUPS):
+            state = encode_step(codec, state, "w")
+            state, _ = optimize(codec, state, Xj, Yj, jax.random.key(9), **opt_kw)
+            sync(state.w.indices)  # compress()'s per-group flow control
+        loop_wall = time.perf_counter() - t0
+        per_group = loop_wall / N_OVERHEAD_GROUPS
+        meas["group_overhead_s"] = max(
+            per_group - (N_MEAS * meas["epoch_s"] + meas["step_s"]), 0.0
+        )
+    else:
+        assumed.append("group_overhead_s")
+    emit(partial=True)
+
+    # -------- 4. prior-training epoch rate (S=1)
+    if elapsed() < DEADLINE_S - 90:
+        pstate = init_prior_state(jax.random.key(0), cfg, N_IMAGES)
+        priors = init_priors(cfg)
+        feats = grid_fourier_features(cfg.pixel_sizes, cfg.fourier_dim)
+        Xp = jnp.broadcast_to(jnp.asarray(feats), (N_IMAGES, *feats.shape))
+
+        def prior_chunk(st, k):
+            st, _ = sgd_epochs(st, Xp, Yj, priors, jnp.float32(1e-8),
+                               jax.random.key(k), cfg=cfg, n_epochs=50, lr=2e-4)
+            return st
+
+        pstate = prior_chunk(pstate, 1)
+        pstate = prior_chunk(pstate, 2)
+        sync(pstate.w.loc)
+        t0 = time.perf_counter()
+        pstate = prior_chunk(pstate, 3)
+        sync(pstate.w.loc)
+        meas["prior_epoch_s"] = (time.perf_counter() - t0) / 50
+        del pstate
+    else:
+        assumed.append("prior_epoch_s")
+    emit(partial=True)
 
     # -------- 5. receiver-side decode throughput (serving path)
-    from recombiner_tpu.coding.encoder import decode
+    if elapsed() < DEADLINE_S - 80:
+        from recombiner_tpu.coding.encoder import decode
 
-    fake_indices = {"w": rng.integers(0, 2**cfg.bits_per_group,
-                                      (N_IMAGES, n_groups)).astype(np.int32)}
-    y = decode(codec, fake_indices, Xj, cfg)
-    y = decode(codec, fake_indices, Xj, cfg)
-    sync(y)
-    t0 = time.perf_counter()
-    n_dec = 10
-    for _ in range(n_dec):
+        fake_indices = {
+            "w": jnp.asarray(
+                rng.integers(0, 2**cfg.bits_per_group, (N_IMAGES, n_groups)),
+                jnp.int32,
+            )
+        }
         y = decode(codec, fake_indices, Xj, cfg)
-    sync(y)
-    decode_dp_s = N_IMAGES / ((time.perf_counter() - t0) / n_dec)
+        y = decode(codec, fake_indices, Xj, cfg)
+        sync(y)
+        t0 = time.perf_counter()
+        n_dec = 10
+        for _ in range(n_dec):
+            y = decode(codec, fake_indices, Xj, cfg)
+        sync(y)
+        meas["decode_dp_s"] = N_IMAGES / ((time.perf_counter() - t0) / n_dec)
 
-    # -------- headline: full reference schedule, host overhead applied
-    total_epochs = full_schedule_epochs(n_groups)
-    total_s = (total_epochs * epoch_s + n_groups * step_s) * host_factor
-    ours_dp_s = N_IMAGES / total_s
-
-    # baselines
-    ref_cpu_total = (
-        total_epochs * REF_CPU_ENCODE_EPOCH_S + n_groups * REF_CPU_CODE_STEP_S
-    )
-    ref_cpu_dp_s = N_IMAGES / ref_cpu_total
-    ref_gpu_total = (
-        total_epochs * REF_CPU_ENCODE_EPOCH_S / GPU_SPEEDUP_ASSUMPTION
-        + n_groups * REF_CPU_CODE_STEP_S / GPU_SPEEDUP_ASSUMPTION
-    )
-    ref_gpu_dp_s = N_IMAGES / ref_gpu_total
-
-    # roofline context
-    flops_epoch = model_flops_per_encode_epoch(cfg, N_IMAGES, 5)
-    achieved_tfs = flops_epoch / epoch_s / 1e12
-
-    print(
-        json.dumps(
-            {
-                "metric": "cifar_encode_datapoints_per_sec",
-                "value": round(ours_dp_s, 4),
-                "unit": "datapoints/s (500-image batch, 2bpp reference schedule, 1 chip)",
-                "vs_baseline": round(ours_dp_s / ref_gpu_dp_s, 2),
-                "details": {
-                    "epoch_s": round(epoch_s, 5),
-                    "prior_epoch_s": round(prior_epoch_s, 5),
-                    "prior_training_steps_per_sec": round(1.0 / prior_epoch_s, 2),
-                    "code_step_s": round(step_s, 5),
-                    "decode_datapoints_per_sec": round(decode_dp_s, 1),
-                    "n_groups": n_groups,
-                    "reduced_compress_wall_cold_s": round(cold_wall, 2),
-                    "reduced_compress_wall_warm_s": round(measured_wall, 2),
-                    "reduced_compress_predicted_s": round(predicted_wall, 2),
-                    "host_overhead_factor": round(host_factor, 4),
-                    "model_tflops_per_epoch": round(flops_epoch / 1e12, 4),
-                    "achieved_tflops_per_sec": round(achieved_tfs, 2),
-                    "roofline_note": "INR chain at K=32 MXU-occupancy ceiling (~3 TF/s useful); convs dominate analytic FLOPs and run in bf16 MXU passes; see docs/PERF.md",
-                    "vs_cpu_measured": round(ours_dp_s / ref_cpu_dp_s, 1),
-                    "baseline_gpu_derived_dp_per_sec": round(ref_gpu_dp_s, 5),
-                    "baseline_gpu_assumption": f"torch reference on 1 CPU core measured {REF_CPU_ENCODE_EPOCH_S:.2f} s/encode-epoch; GPU assumed {GPU_SPEEDUP_ASSUMPTION:.0f}x that core",
-                    "baseline_cpu_measured_dp_per_sec": round(ref_cpu_dp_s, 6),
-                    "platform": jax.devices()[0].platform,
-                },
-            }
-        )
-    )
+    emit(partial=False)
 
 
 def _init_A(cfg):
