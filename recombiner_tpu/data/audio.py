@@ -20,26 +20,59 @@ NUM_SECS = 3
 CLIP_SAMPLES = SAMPLE_RATE * NUM_SECS  # 48000
 
 
-def process_audio_datasets(save_dir: str, root: str = "./", download_test: bool = False) -> None:
+def preprocess_clip(wav: np.ndarray) -> np.ndarray | None:
+    """[-1,1] waveform -> [0,1] 48000-sample clip, or None if too short —
+    the exact per-clip math of the reference preprocessor
+    (data/audio.py:96-104: (wav+1)/2, truncate, keep only full clips)."""
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    wav = (wav + 1.0) / 2.0
+    wav = wav[:CLIP_SAMPLES]
+    return wav.astype(np.float32) if wav.shape[0] == CLIP_SAMPLES else None
+
+
+def process_audio_datasets(
+    save_dir: str,
+    root: str = "./",
+    download_test: bool = False,
+    corpus_fn=None,
+) -> None:
     """Offline preprocessor: select clips, normalize to [0,1], dump datasets
-    (data/audio.py:79-109). Requires torchaudio."""
-    import torchaudio
+    (data/audio.py:79-109).
+
+    ``corpus_fn(url) -> indexable of 1-D [-1,1] float waveforms``; the
+    default wraps torchaudio's LIBRISPEECH (download). Injectable so the
+    full selection/processing/dump path is testable without the corpus
+    (this environment has zero egress)."""
+    if corpus_fn is None:
+
+        def corpus_fn(url: str):
+            import torchaudio
+
+            ds = torchaudio.datasets.LIBRISPEECH(root=root, url=url, download=True)
+
+            class _Corpus:
+                def __len__(self):
+                    return len(ds)
+
+                def __getitem__(self, i):
+                    return ds[int(i)][0].float().numpy()[0]  # (L,)
+
+            return _Corpus()
 
     def clips_of(url: str, limit: int | None):
-        ds = torchaudio.datasets.LIBRISPEECH(root=root, url=url, download=True)
+        ds = corpus_fn(url)
         n = len(ds)
         if limit is not None:
+            # seeded subset selection, matching data/audio.py:85-88
             rng = np.random.RandomState(0)
             idx = rng.choice(n, min(limit, n), False)
         else:
             idx = np.arange(n)
         out = []
         for i in idx:
-            wav = ds[int(i)][0].float().numpy()  # (1, L) in [-1, 1]
-            wav = (wav + 1.0) / 2.0
-            wav = wav[:, :CLIP_SAMPLES]
-            if wav.shape[-1] == CLIP_SAMPLES:
-                out.append(wav[0].astype(np.float32))  # (48000,)
+            clip = preprocess_clip(ds[int(i)])
+            if clip is not None:
+                out.append(clip)
         return out
 
     test = clips_of("test-clean", None)

@@ -20,20 +20,49 @@ CROP = 240
 SIZE = 128
 
 
-def process_video_datasets(train_paths, test_paths, save_dir: str) -> None:
+def preprocess_clip(video_thwc: np.ndarray) -> np.ndarray | None:
+    """(T, H, W, C) uint8/float frames -> (24, 128, 128, C) float32 in [0,1],
+    or None when the frame is too small to center-crop — the per-clip math
+    of the reference preprocessor (data/video.py:22-33: first 24 frames,
+    CenterCrop 240, Resize 128, /255).
+
+    Uses torch-core bilinear interpolation (the reference goes through
+    torchvision.transforms.Resize, same bilinear family); corpus-level
+    pixel parity is unverifiable here, RD-level behavior is what matters."""
+    import torch
+
+    video = torch.as_tensor(np.asarray(video_thwc)).permute([0, 3, 1, 2])[:N_FRAMES]
+    if video.shape[-1] < CROP or video.shape[-2] < CROP:
+        return None
+    h0 = (video.shape[-2] - CROP) // 2
+    w0 = (video.shape[-1] - CROP) // 2
+    video = video[..., h0 : h0 + CROP, w0 : w0 + CROP].float()
+    video = torch.nn.functional.interpolate(
+        video, size=(SIZE, SIZE), mode="bilinear", align_corners=False
+    )
+    clip = video.numpy().astype(np.float32) / 255.0  # (T,C,H,W)
+    return np.moveaxis(clip, 1, -1)  # (T,H,W,C)
+
+
+def process_video_datasets(train_paths, test_paths, save_dir: str, decode_fn=None) -> None:
     """Offline preprocessor following VC-INR conventions (data/video.py:13-38).
-    Requires torchvision for video decode."""
-    from torchvision import io, transforms
+
+    ``decode_fn(path) -> (T, H, W, C) frame array``; the default uses
+    torchvision's video reader. Injectable so the full process/dump path is
+    testable without video codecs (this environment has none)."""
+    if decode_fn is None:
+
+        def decode_fn(p):
+            from torchvision import io
+
+            return io.read_video(p)[0].numpy()
 
     def process(paths):
         out = []
         for p in paths:
-            video = io.read_video(p)[0].permute([0, 3, 1, 2])[:N_FRAMES]  # (T,C,H,W)
-            if video.shape[-1] >= CROP and video.shape[-2] >= CROP:
-                video = transforms.CenterCrop([CROP, CROP])(video)
-                video = transforms.Resize(size=[SIZE, SIZE])(video)
-                clip = video.numpy().astype(np.float32) / 255.0  # (T,C,H,W)
-                out.append(np.moveaxis(clip, 1, -1))  # (T,H,W,C)
+            clip = preprocess_clip(decode_fn(p))
+            if clip is not None:
+                out.append(clip)
         return out
 
     np.savez(save_dir + "/test_dataset.npz", *process(test_paths))

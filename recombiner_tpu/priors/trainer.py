@@ -266,6 +266,16 @@ def em_train(
     if state is None:
         key, sub = jax.random.split(key)
         state = init_prior_state(sub, cfg, train_size)
+        # place the fresh state on X's mesh: in a MULTI-PROCESS run the
+        # training data is a global (row-sharded, partly non-addressable)
+        # array, and mixing it with process-local state in one jit is an
+        # error — the state must be globally sharded the same way
+        # (single-process this is the same placement jit would pick)
+        sh = getattr(X, "sharding", None)
+        if isinstance(sh, jax.sharding.NamedSharding):
+            from recombiner_tpu.parallel.mesh import shard_rows
+
+            state = shard_rows(state, sh.mesh)
     if priors is None:
         priors = init_priors(cfg)
 

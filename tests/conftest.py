@@ -22,3 +22,11 @@ def pytest_sessionstart(session):
     devs = jax.devices()
     assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
     assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute fixture (reference-torch parity, 4-way e2e); "
+        "deselect with -m 'not slow' for the fast default loop",
+    )

@@ -185,3 +185,87 @@ def test_synthetic_backbone_kind():
 
     with pytest.raises(ValueError, match="backbone"):
         synthetic_dataset(TINY, 1, kind="backbone")
+
+
+def test_process_audio_datasets_full_path(tmp_path):
+    """The COMPLETE offline audio preprocessor (selection rng, per-clip
+    normalization/truncation, short-clip rejection, npz dumps) driven by a
+    fake in-memory corpus — the real LibriSpeech download cannot run here
+    (zero egress), but everything downstream of decode now does."""
+    from recombiner_tpu.data.audio import (
+        CLIP_SAMPLES,
+        load_audio,
+        load_clip_list,
+        process_audio_datasets,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def corpus_fn(url):
+        # test-clean: 3 clips (one too short -> dropped); train: 5 clips
+        n = 3 if url == "test-clean" else 5
+        clips = [
+            rng.uniform(-1, 1, CLIP_SAMPLES + 100).astype(np.float32)
+            for _ in range(n)
+        ]
+        if url == "test-clean":
+            clips[1] = clips[1][: CLIP_SAMPLES // 2]  # too short
+        return clips
+
+    process_audio_datasets(str(tmp_path), corpus_fn=corpus_fn)
+
+    test_clips = load_clip_list(str(tmp_path / "test_dataset.npz"))
+    train_clips = load_clip_list(str(tmp_path / "train_dataset.npz"))
+    assert len(test_clips) == 2  # short clip rejected
+    assert len(train_clips) == 5
+    for c in test_clips + train_clips:
+        assert c.shape == (CLIP_SAMPLES,)
+        assert c.min() >= 0.0 and c.max() <= 1.0  # (wav+1)/2 domain
+
+    # and the training loader consumes the dump end-to-end
+    X, Y = load_audio(train_clips[:2], AUDIO)
+    assert X.shape[0] == 2 * AUDIO.patches_per_datapoint
+    assert Y.shape == (X.shape[0], AUDIO.n_pixels, 1)
+
+
+def test_process_video_datasets_full_path(tmp_path):
+    """The COMPLETE offline video preprocessor (24-frame truncation, center
+    crop 240, resize 128, /255, small-frame rejection, npz dumps) driven by
+    a fake decoder — no video codecs exist in this environment."""
+    from recombiner_tpu.data.video import (
+        N_FRAMES,
+        SIZE,
+        load_clip_list,
+        load_video,
+        process_video_datasets,
+    )
+
+    rng = np.random.default_rng(1)
+    fake = {
+        "a.avi": rng.integers(0, 256, (30, 250, 320, 3), dtype=np.uint8),
+        "b.avi": rng.integers(0, 256, (24, 240, 240, 3), dtype=np.uint8),
+        "small.avi": rng.integers(0, 256, (24, 100, 100, 3), dtype=np.uint8),
+    }
+    process_video_datasets(
+        ["a.avi", "small.avi"], ["b.avi"], str(tmp_path), decode_fn=lambda p: fake[p]
+    )
+
+    train = load_clip_list(str(tmp_path / "train_dataset.npz"))
+    test = load_clip_list(str(tmp_path / "test_dataset.npz"))
+    assert len(train) == 1  # small frame rejected
+    assert len(test) == 1
+    for c in train + test:
+        assert c.shape == (N_FRAMES, SIZE, SIZE, 3)
+        assert c.min() >= 0.0 and c.max() <= 1.0
+
+    # constant-color frames survive crop+resize exactly (interpolation of a
+    # constant is the constant): pins the value chain, not just shapes
+    const = np.full((26, 260, 260, 3), 128, np.uint8)
+    from recombiner_tpu.data.video import preprocess_clip
+
+    out = preprocess_clip(const)
+    np.testing.assert_allclose(out, 128.0 / 255.0, rtol=1e-6)
+
+    X, Y = load_video(test, VIDEO)
+    assert X.shape[0] == VIDEO.patches_per_datapoint
+    assert Y.shape == (X.shape[0], VIDEO.n_pixels, 3)
