@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Full-schedule encode head-to-head: our engine vs the imported PyTorch
+reference, SAME prior, SAME data, SAME schedule (VERDICT round 1, item 7).
+
+One prior trained by this framework (docs/schedule_priors, full-EM cifar
+2 bpp) is exported to the reference pickle format (io/export_reference.py);
+both engines then encode the SAME synthetic cifar test images at the FULL
+reference schedule — 30,000 optimize epochs + max(30000/n_groups, 50)-epoch
+per-group finetunes (main_compression.py:148-162) — and report PSNR at the
+bpp fixed by the shared grouping.
+
+    python scripts/head_to_head.py --side torch --n_images 8 --out t.json
+    python scripts/head_to_head.py --side ours  --n_images 8 --out o.json
+
+The torch side runs the reference's own TestBNNmodel end to end
+(optimize_posteriors + compress_posteriors, test_model.py:621-856) wired
+exactly like main_compression.py:37-145. Codebooks differ by design (torch
+Sobol vs our threefry spec — SURVEY §7), so parity is at the RD level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+PRIOR = "docs/schedule_priors/PRIOR_rd_cifar_bitrate=2.npz"
+N_OPT = 30000
+
+
+def load_shared(n_images: int):
+    import jax
+
+    from recombiner_tpu.io.checkpoint import load_prior_artifact
+    from recombiner_tpu.data.synthetic import synthetic_dataset
+
+    art = load_prior_artifact(PRIOR)
+    # the schedule study's test set is synthetic_dataset(cfg, 125, seed=43)
+    # (rd_sweep --synthetic 500 => test seed 42+1); its first n_images rows
+    # are generator-prefix-stable
+    X, Y = synthetic_dataset(art.config, n_images, seed=43)
+    return art, X, Y
+
+
+def run_ours(art, X, Y, out_path: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from recombiner_tpu.coding.encoder import init_codec
+    from recombiner_tpu.coding.progressive import compress, finetune_epochs
+    from recombiner_tpu.metrics import metric
+
+    cfg = art.config
+    codec, state = init_codec(art, n_rows=X.shape[0])
+    n_groups = int(codec.w.n_groups)
+    t0 = time.perf_counter()
+    res = compress(
+        codec, state, jnp.asarray(X), jnp.asarray(Y), cfg, jax.random.key(7),
+        n_optimize_epochs=N_OPT, sample_size=5, verbose=True,
+    )
+    wall = time.perf_counter() - t0
+    rec = {
+        "side": "ours",
+        "psnr": float(np.mean(res.distortion)),
+        "bitrate_bpp": res.bitrate,
+        "n_groups": n_groups,
+        "finetune_epochs": finetune_epochs(cfg, n_groups, "w"),
+        "wall_s": round(wall, 1),
+        "n_images": int(X.shape[0]),
+    }
+    return rec
+
+
+def run_torch(art, X, Y, out_path: str) -> dict:
+    import sys
+
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    sys.path.insert(0, REF)
+    try:
+        import test_model as ref_test_model
+    finally:
+        sys.path.remove(REF)
+
+    from recombiner_tpu.io.export_reference import export_reference_checkpoint
+    from recombiner_tpu.metrics import metric
+    import pickle
+
+    pkl = out_path + ".prior.pkl"
+    export_reference_checkpoint(art, pkl, reference_path=REF)
+
+    with open(pkl, "rb") as f:
+        (group_idx, group_start, group_end, group2param, param2group,
+         n_groups, group_kls, weights) = pickle.load(f)
+        prior_loc, prior_scale, kl_beta, avg_ls = pickle.load(f)
+        for _ in range(4):
+            pickle.load(f)
+        lt = pickle.load(f)
+        up = pickle.load(f)
+
+    # main_compression.py:47-73 wiring: group-order priors, inv-softplus
+    _p_loc = prior_loc.clone()[param2group]
+    _p_ls = torch.log(torch.exp(prior_scale * 6) - 1).clone()[param2group]
+    _avg = avg_ls[param2group].cpu().detach()
+    m = ref_test_model.TestBNNmodel(
+        in_dim=32, hidden_dims=[32, 32, 32], out_dim=3,
+        number_of_datapoints=X.shape[0],
+        upsample_factors=[16, 16], latent_dim=128, data_dim=2,
+        pixel_sizes=[32, 32], patch=False, patch_nums=None,
+        hierarchical_patch_nums=None, dataset="cifar",
+        linear_transform=lt, upsample_net=up,
+        p_loc=_p_loc, p_log_scale=_p_ls, init_log_scale=_avg,
+        param_to_group=param2group, group_to_param=group2param,
+        n_groups=n_groups, group_start_index=group_start,
+        group_end_index=group_end, group_idx=group_idx,
+        w0=30., c=6., random_seed=42, device="cpu",
+        kl_upper_buffer=0., kl_lower_buffer=0.4, kl_adjust_gap=10,
+        initial_beta=kl_beta, beta_step_size=0.05,
+    )
+    x, y = torch.from_numpy(X), torch.from_numpy(Y)
+    n_ft = max(N_OPT // int(n_groups), 50)
+    t0 = time.perf_counter()
+    m.optimize_posteriors(x, y, n_epochs=N_OPT, lr=2e-4, verbose=1)
+    m.compress_posteriors(
+        x, y, n_epochs_finetune=n_ft, h_n_epochs_finetune=None,
+        hh_n_epochs_finetune=None, verbose=1, lr=2e-4, fine_tune_gap=1,
+        compress_from_group_with_largest_kl=True,
+    )
+    wall = time.perf_counter() - t0
+    with torch.no_grad():
+        y_pred = m.predict(x, random_seed=0, sample_size=1)
+    psnr = metric(Y, y_pred.numpy(), "cifar")
+    rec = {
+        "side": "torch_reference",
+        "psnr": float(np.mean(psnr)),
+        "bitrate_bpp": float(int(n_groups) * 16 / (32 * 32)),
+        "n_groups": int(n_groups),
+        "finetune_epochs": n_ft,
+        "wall_s": round(wall, 1),
+        "n_images": int(X.shape[0]),
+    }
+    return rec
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--side", required=True, choices=("torch", "ours"))
+    p.add_argument("--n_images", type=int, default=8)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n_opt", type=int, default=None,
+                   help="override the 30000-epoch schedule (smoke tests only)")
+    args = p.parse_args()
+    if args.n_opt is not None:
+        global N_OPT
+        N_OPT = args.n_opt
+
+    if args.side == "torch":
+        # torch side never needs a device; keep jax off the TPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    art, X, Y = load_shared(args.n_images)
+    rec = run_torch(art, X, Y, args.out) if args.side == "torch" else run_ours(
+        art, X, Y, args.out
+    )
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
