@@ -80,6 +80,8 @@ def unpack_bitstream(blob: bytes):
     off = 9 + hlen
     out = {}
     for lv in header["levels"]:
+        if lv["rows"] < 0 or lv["groups"] < 0:
+            raise ValueError(f"bitstream header declares negative shape: {lv}")
         n = lv["rows"] * lv["groups"]
         arr = np.frombuffer(blob, dtype, count=n, offset=off)
         out[lv["name"]] = arr.reshape(lv["rows"], lv["groups"]).astype(np.int32)

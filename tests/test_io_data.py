@@ -269,3 +269,42 @@ def test_process_video_datasets_full_path(tmp_path):
     X, Y = load_video(test, VIDEO)
     assert X.shape[0] == VIDEO.patches_per_datapoint
     assert Y.shape == (X.shape[0], VIDEO.n_pixels, 3)
+
+
+def test_bitstream_rejects_malformed_inputs():
+    """Reader contract (docs/FORMAT.md §2): every malformed input raises
+    ValueError — never a struct/numpy internal error or silent garbage."""
+    import numpy as np
+    import pytest
+
+    good = pack_bitstream(
+        {"w": np.arange(6, dtype=np.int64).reshape(2, 3)},
+        config_name="tiny", codebook_seed=42, bits_per_group=16,
+    )
+    for blob in (
+        b"",                      # empty
+        b"NOPE" + good[4:],       # wrong magic
+        good[:5],                 # truncated mid-header-length
+        good[: len(good) // 2],   # truncated mid-payload
+        good[:-4] + b"\x00\x00\x00\x00",  # corrupted CRC
+        good[:-1],                # truncated CRC
+    ):
+        with pytest.raises(ValueError):
+            unpack_bitstream(blob)
+
+
+def test_bitstream_rejects_future_version():
+    import numpy as np
+    import pytest
+    import struct
+    import zlib
+
+    good = pack_bitstream(
+        {"w": np.zeros((1, 2), np.int64)},
+        config_name="tiny", codebook_seed=42, bits_per_group=16,
+    )
+    body = bytearray(good[:-4])
+    body[4] = 99  # future version byte
+    blob = bytes(body) + struct.pack("<I", zlib.crc32(bytes(body)))
+    with pytest.raises(ValueError, match="version"):
+        unpack_bitstream(blob)
