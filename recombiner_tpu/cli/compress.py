@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--state_path", default=None, help="encode-state snapshot path: written every --save_every groups and resumed from if it exists")
     p.add_argument("--save_every", type=int, default=10)
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
+    p.add_argument("--sync_every", type=int, default=1,
+                   help="batch the per-group flow-control fetch over K group "
+                        "steps (bounded dispatch queue of K; results identical)")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=None,
                    help="rematerialize the ELBO forward in backward (fits kodak/video-"
                         "scale encodes in HBM for ~1.3x epoch cost). Default: auto — "
@@ -134,6 +137,7 @@ def main(argv=None):
         verbose=True,
         state_path=args.state_path,
         save_every=args.save_every,
+        sync_every=args.sync_every,
         remat=args.remat,
         state_extra={"prior_fingerprint": fingerprint},
         **resume,

@@ -92,6 +92,7 @@ def compress(
     phase1_opt_leaves=None,
     resume_key=None,
     chunk_epochs: int = 1000,
+    sync_every: int = 1,
 ) -> EncodeResult:
     """Full encode: posterior optimization + progressive coding of all levels.
 
@@ -236,14 +237,20 @@ def compress(
                 # finetune) — optimize_chunked threads opt_state across its
                 # internal chunks only.
                 state, _ = optimize_chunked(state, sub, n_ft)
-            if multi_device:
-                # utils.timing.sync (device_get), NOT block_until_ready: the
-                # latter does not synchronize on this image's axon TPU
-                # tunnel (CLAUDE.md), which would make the barrier a no-op
-                # exactly where it matters
-                sync(state.level(level).q.loc)
-            else:
-                sync(state.level(level).indices)  # flow control (see above)
+            # sync_every batches the flow-control fetch over K group steps:
+            # the dispatch queue stays bounded at <=K in-flight finetune
+            # programs (K=1 reproduces the original per-group barrier; keep
+            # K small — the multi-device rendezvous deadlock above appeared
+            # at ~20-40 un-synced collective programs).
+            if (step_i + 1) % max(sync_every, 1) == 0 or step_i == meta.n_groups - 1:
+                if multi_device:
+                    # utils.timing.sync (device_get), NOT block_until_ready:
+                    # the latter does not synchronize on this image's axon
+                    # TPU tunnel (CLAUDE.md), which would make the barrier a
+                    # no-op exactly where it matters
+                    sync(state.level(level).q.loc)
+                else:
+                    sync(state.level(level).indices)  # flow control (see above)
             if verbose:
                 if step_i in report_at:
                     d = distortion_of(codec, state, X, Y, cfg)
@@ -252,7 +259,8 @@ def compress(
                         f"distortion {np.mean(d):.4f}",
                         flush=True,
                     )
-                else:  # liveness heartbeat (synced above): one short line/group
+                else:  # liveness heartbeat: one short line/group (real device
+                    # progress when sync_every=1; dispatch progress otherwise)
                     print(f"[{level}] {step_i + 1}/{meta.n_groups}", flush=True)
             if log_fn is not None:
                 log_fn(level, step_i, state)

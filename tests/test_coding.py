@@ -400,3 +400,26 @@ def test_finetune_chunked_to_1000_epoch_programs(monkeypatch):
     n_groups = codec.meta("w").n_groups
     # each group's 2300-epoch finetune = chunks summing exactly to 2300
     assert sum(calls) == n_groups * 2300
+
+
+def test_sync_every_does_not_change_results(tiny_artifact):
+    """The per-group flow-control fetch is pure host-side pacing: batching
+    it over K group steps (compress(sync_every=K)) must leave indices and
+    reconstruction bit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from recombiner_tpu.coding.progressive import compress
+
+    cfg, art, X, Y = tiny_artifact
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+
+    def run(k):
+        codec, state = init_codec(art, n_rows=2)
+        return compress(codec, state, Xj, Yj, cfg, jax.random.key(5),
+                        n_optimize_epochs=8, sample_size=2,
+                        finetune_overrides={"w": 2}, sync_every=k)
+
+    a, b = run(1), run(4)
+    np.testing.assert_array_equal(a.indices["w"], b.indices["w"])
+    np.testing.assert_array_equal(a.reconstruction, b.reconstruction)
