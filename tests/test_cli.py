@@ -99,6 +99,7 @@ def test_rd_sweep_synthetic(tmp_path):
     assert len(saved["points"]) == 2
 
 
+@pytest.mark.slow
 def test_rd_sweep_real_wav(tmp_path):
     """rd_sweep with --test_wav: speech-like synthetic prior, real-WAV encode
     target, media export (the workflow behind docs/RD_AUDIO.md)."""

@@ -157,6 +157,7 @@ def _our_artifact(path, dataset="tiny"):
     return dataclasses.replace(art, config=cfg16)
 
 
+@pytest.mark.slow
 def test_encode_rd_parity(trained_pickle):
     """Same artifact, same data, matched (reduced) schedule: distortion at
     exactly matched bpp must agree within 1 dB."""
