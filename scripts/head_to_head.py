@@ -49,21 +49,49 @@ def load_shared(n_images: int):
     return art, X, Y
 
 
-def run_ours(art, X, Y, out_path: str) -> dict:
+def run_ours(art, X, Y, out_path: str, state_path: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
     from recombiner_tpu.coding.encoder import init_codec
     from recombiner_tpu.coding.progressive import compress, finetune_epochs
+    from recombiner_tpu.io.checkpoint import prior_fingerprint
     from recombiner_tpu.metrics import metric
 
     cfg = art.config
     codec, state = init_codec(art, n_rows=X.shape[0])
     n_groups = int(codec.w.n_groups)
+    fingerprint = prior_fingerprint(art)
+    resume = {}
+    if state_path:
+        from recombiner_tpu.io.atomic import load_snapshot_or_none
+        from recombiner_tpu.io.encode_state import (
+            FingerprintMismatch,
+            load_encode_state_full,
+        )
+
+        try:
+            loaded, reason = load_snapshot_or_none(
+                state_path, lambda p: load_encode_state_full(p, fingerprint)
+            )
+        except FingerprintMismatch as e:
+            loaded, reason = None, str(e)
+        if reason:
+            print(f"WARNING: {reason}; encoding from scratch", flush=True)
+        if loaded is not None:
+            state, header, opt_leaves = loaded
+            resume = {
+                "phase1_epochs_done": int(header.get("phase1_epochs_done", 0)),
+                "phase1_opt_leaves": opt_leaves,
+                "resume_key": header.get("resume_key"),
+            }
+            print(f"Resumed encode state from {state_path}", flush=True)
     t0 = time.perf_counter()
     res = compress(
         codec, state, jnp.asarray(X), jnp.asarray(Y), cfg, jax.random.key(7),
         n_optimize_epochs=N_OPT, sample_size=5, verbose=True,
+        state_path=state_path, state_extra={"prior_fingerprint": fingerprint},
+        **resume,
     )
     wall = time.perf_counter() - t0
     rec = {
@@ -158,11 +186,16 @@ def main() -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--n_opt", type=int, default=None,
                    help="override the 30000-epoch schedule (smoke tests only)")
+    p.add_argument("--state", default=None,
+                   help="ours side: encode-state snapshot path (crash resume)")
     args = p.parse_args()
     if args.n_opt is not None:
         global N_OPT
         N_OPT = args.n_opt
 
+    from recombiner_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     if args.side == "torch":
         # torch side never needs a device; keep jax off the TPU
         import jax
@@ -171,7 +204,7 @@ def main() -> None:
 
     art, X, Y = load_shared(args.n_images)
     rec = run_torch(art, X, Y, args.out) if args.side == "torch" else run_ours(
-        art, X, Y, args.out
+        art, X, Y, args.out, state_path=args.state
     )
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=2)
