@@ -112,6 +112,12 @@ def speech_like_clip(
     n_ctrl = max(n_samples // 800, 4)
     f0_ctrl = rng.uniform(90.0, 250.0, n_ctrl)
     f0 = np.interp(np.linspace(0, 1, n_samples), np.linspace(0, 1, n_ctrl), f0_ctrl)
+    # pitch jitter: ~1% cycle-to-cycle period noise at a ~100 Hz control
+    # rate — real glottal cycles are never metronomic, and the INR prior
+    # sees the difference at the 50 ms patch scale
+    n_jit = max(n_samples // 160, 4)
+    jit = 1.0 + 0.012 * rng.standard_normal(n_jit)
+    f0 = f0 * np.interp(np.linspace(0, 1, n_samples), np.linspace(0, 1, n_jit), jit)
     phase = 2 * np.pi * np.cumsum(f0) / sample_rate
 
     # formant envelope: 3 random resonances over 300-3500 Hz with 1/f rolloff
@@ -124,8 +130,21 @@ def speech_like_clip(
         bw = rng.uniform(80.0, 400.0)
         env += np.exp(-0.5 * ((harm_freq - fc) / bw) ** 2)
     env = (env + 0.15) / (1.0 + 0.3 * harm_freq / 100.0)  # rolloff
-    phi = rng.uniform(0, 2 * np.pi, (n_harm, 1))
+    # glottal-pulse phase coherence: voiced speech is an impulse train
+    # through resonances, so harmonic phases are nearly aligned (small
+    # group-delay dispersion growing with frequency). Round-2's uniform
+    # random phases smear each pitch pulse into a patch-scale waveform
+    # real speech never produces; keep a per-clip dispersion instead.
+    disp = rng.uniform(0.1, 1.0)
+    phi = rng.uniform(0, 2 * np.pi) + disp * np.sqrt(k) * rng.standard_normal(
+        (n_harm, 1)
+    )
     voiced = (env * np.sin(k * phase[None, :] + phi)).sum(0)
+    # shimmer: slow multiplicative amplitude noise (~100 Hz control rate)
+    shim = 1.0 + 0.06 * rng.standard_normal(n_jit)
+    voiced = voiced * np.interp(
+        np.linspace(0, 1, n_samples), np.linspace(0, 1, n_jit), shim
+    )
     voiced /= max(np.abs(voiced).max(), 1e-9)
 
     # unvoiced: high-passed noise (FFT mask above ~2 kHz)

@@ -40,8 +40,21 @@ def main() -> int:
     for attempt in range(args.max_restarts + 1):
         with open(args.log, "ab", buffering=0) as logf:
             logf.write(f"\n=== babysit attempt {attempt} ===\n".encode())
-            child = subprocess.Popen(cmd, stdout=logf, stderr=logf)
+            # new session: the stall kill must take out the WHOLE process
+            # group — killing only a shell wrapper orphans the python
+            # grandchild, which keeps holding the TPU grant while the next
+            # attempt launches into it (observed 2026-08-17)
+            child = subprocess.Popen(
+                cmd, stdout=logf, stderr=logf, start_new_session=True
+            )
         print(f"[babysit] attempt {attempt}: pid {child.pid}", flush=True)
+
+        def kill_tree(sig):
+            try:
+                os.killpg(child.pid, sig)
+            except ProcessLookupError:
+                pass
+
         wedged = False
         while True:
             rc = child.poll()
@@ -50,11 +63,11 @@ def main() -> int:
             age = time.time() - os.path.getmtime(args.log)
             if age > args.stall:
                 print(f"[babysit] log stalled {age:.0f}s; killing {child.pid}", flush=True)
-                child.send_signal(signal.SIGTERM)
+                kill_tree(signal.SIGTERM)
                 try:
                     child.wait(timeout=15)
                 except subprocess.TimeoutExpired:
-                    child.kill()
+                    kill_tree(signal.SIGKILL)
                     child.wait()
                 wedged = True
                 break

@@ -49,7 +49,8 @@ def load_shared(n_images: int):
     return art, X, Y
 
 
-def run_ours(art, X, Y, out_path: str, state_path: str | None = None) -> dict:
+def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
+             seed: int = 7, codebook: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +60,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None) -> dict:
     from recombiner_tpu.metrics import metric
 
     cfg = art.config
-    codec, state = init_codec(art, n_rows=X.shape[0])
+    codec, state = init_codec(art, n_rows=X.shape[0], codebook_kind=codebook)
     n_groups = int(codec.w.n_groups)
     fingerprint = prior_fingerprint(art)
     resume = {}
@@ -88,7 +89,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None) -> dict:
             print(f"Resumed encode state from {state_path}", flush=True)
     t0 = time.perf_counter()
     res = compress(
-        codec, state, jnp.asarray(X), jnp.asarray(Y), cfg, jax.random.key(7),
+        codec, state, jnp.asarray(X), jnp.asarray(Y), cfg, jax.random.key(seed),
         n_optimize_epochs=N_OPT, sample_size=5, verbose=True,
         state_path=state_path, state_extra={"prior_fingerprint": fingerprint},
         **resume,
@@ -188,6 +189,10 @@ def main() -> None:
                    help="override the 30000-epoch schedule (smoke tests only)")
     p.add_argument("--state", default=None,
                    help="ours side: encode-state snapshot path (crash resume)")
+    p.add_argument("--enc_seed", type=int, default=7,
+                   help="ours side: encode RNG seed (seed-variance studies)")
+    p.add_argument("--codebook", default=None, choices=(None, "threefry", "sobol"),
+                   help="ours side: override the artifact's codebook kind")
     args = p.parse_args()
     if args.n_opt is not None:
         global N_OPT
@@ -204,8 +209,12 @@ def main() -> None:
 
     art, X, Y = load_shared(args.n_images)
     rec = run_torch(art, X, Y, args.out) if args.side == "torch" else run_ours(
-        art, X, Y, args.out, state_path=args.state
+        art, X, Y, args.out, state_path=args.state,
+        seed=args.enc_seed, codebook=args.codebook,
     )
+    if args.side == "ours":
+        rec["enc_seed"] = args.enc_seed
+        rec["codebook"] = args.codebook or "artifact-default"
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec), flush=True)

@@ -146,6 +146,23 @@ def test_synthetic_speech_kind():
     hi = spec[freqs > 1000].sum() / spec.sum()
     assert hi > 0.05, f"high-frequency energy fraction {hi}"
 
+    # patch-scale (800-sample) waveform shape must sit near real speech:
+    # the reference clip measures median kurtosis 3.49 / crest 3.24 over
+    # active patches; the glottal-pulse-coherent generator is tuned to match
+    # (random-phase harmonics gave ~2.4 kurtosis, pure pulse trains ~8)
+    kurts, crests = [], []
+    for s in range(6):
+        c = speech_like_clip(np.random.default_rng(s), 48000)[:, 0] * 2.0 - 1.0
+        c = c - c.mean()
+        P = c[: 48000 // 800 * 800].reshape(-1, 800)
+        act = P[P.std(1) > 0.3 * c.std()]
+        kurts.append(np.median(
+            ((act - act.mean(1, keepdims=True)) ** 4).mean(1) / act.var(1) ** 2
+        ))
+        crests.append(np.median(np.abs(act).max(1) / act.std(1)))
+    assert 2.5 < np.median(kurts) < 5.5, f"patch kurtosis {np.median(kurts)}"
+    assert 2.5 < np.median(crests) < 4.5, f"patch crest {np.median(crests)}"
+
     with pytest.raises(ValueError, match="speech"):
         synthetic_dataset(TINY, 1, kind="speech")  # 2-D geometry
 
