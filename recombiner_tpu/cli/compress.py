@@ -50,14 +50,23 @@ def parse_args(argv=None):
                         "enabled when the stored-activation estimate exceeds 8 GB/device "
                         "(an HBM OOM here crashes the TPU worker, it does not raise). "
                         "--no-remat forces it off.")
+    p.add_argument("--precision", default=None,
+                   choices=("default", "high", "highest"),
+                   help="matmul precision for the encode (TPU f32 default is "
+                        "bf16 passes; 'highest' = exact f32 recovers ~0.35 dB "
+                        "at 2.8x encode wall — docs/HEAD_TO_HEAD.md)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
-    from recombiner_tpu.utils.platform import apply_platform_override
+    from recombiner_tpu.utils.platform import (
+        apply_matmul_precision,
+        apply_platform_override,
+    )
 
     apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
+    apply_matmul_precision(args.precision)
     maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     art = load_prior_artifact(args.prior_path)
     cfg = art.config

@@ -72,14 +72,23 @@ def parse_args(argv=None):
     p.add_argument("--train_state_dir", default=None,
                    help="snapshot full EM training state here every 10 iterations "
                         "and resume mid-EM from it after a crash")
+    p.add_argument("--precision", default=None,
+                   choices=("default", "high", "highest"),
+                   help="matmul precision (TPU f32 default is bf16 passes; "
+                        "'highest' = exact f32 recovers ~0.35 dB in the coding "
+                        "phase at 2.8x encode wall — docs/HEAD_TO_HEAD.md)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
-    from recombiner_tpu.utils.platform import apply_platform_override
+    from recombiner_tpu.utils.platform import (
+        apply_matmul_precision,
+        apply_platform_override,
+    )
 
     apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
+    apply_matmul_precision(args.precision)
     maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     cfg = get_config(args.dataset)
 

@@ -28,3 +28,21 @@ def apply_platform_override() -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+
+def apply_matmul_precision(precision: str | None) -> None:
+    """Set jax's default matmul precision process-wide (no-op when None).
+
+    TPU f32 matmuls default to single bf16-pass multiplication (the
+    accumulator is f32 regardless). Measured head-to-head vs the torch-CPU
+    reference at the full encode schedule (docs/HEAD_TO_HEAD.md): that
+    rounding costs ~0.35 dB in the progressive-coding phase — finetuning
+    against frozen f32 codebook samples through sin(30x) is the one
+    precision-sensitive regime in this framework (prior training and
+    phase-1 optimization measure no effect). ``"highest"`` (exact f32,
+    6-pass) recovers it at ~2.8x encode wall; the decoded bitstream format
+    is precision-independent either way."""
+    if precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", precision)

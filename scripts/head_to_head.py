@@ -193,7 +193,16 @@ def main() -> None:
                    help="ours side: encode RNG seed (seed-variance studies)")
     p.add_argument("--codebook", default=None, choices=(None, "threefry", "sobol"),
                    help="ours side: override the artifact's codebook kind")
+    p.add_argument("--precision", default=None,
+                   choices=(None, "default", "high", "highest"),
+                   help="ours side: jax default_matmul_precision (TPU f32 "
+                        "matmuls default to bf16 passes; torch-CPU is exact "
+                        "f32 — 'highest' removes that asymmetry)")
     args = p.parse_args()
+    if args.precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", args.precision)
     if args.n_opt is not None:
         global N_OPT
         N_OPT = args.n_opt
@@ -215,6 +224,7 @@ def main() -> None:
     if args.side == "ours":
         rec["enc_seed"] = args.enc_seed
         rec["codebook"] = args.codebook or "artifact-default"
+        rec["matmul_precision"] = args.precision or "default"
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec), flush=True)
