@@ -331,3 +331,31 @@ def test_atomic_snapshot_and_corrupt_tolerance(tmp_path):
     # absent now -> silent None
     val, reason = load_snapshot_or_none(p, loader)
     assert val is None and reason is None
+
+
+def test_apply_matmul_precision_plumbing():
+    """--precision flows CLI -> apply_matmul_precision -> jax config.
+
+    The knob recovers the measured ~0.35 dB the TPU's default bf16-pass f32
+    matmuls cost in the coding phase (docs/HEAD_TO_HEAD.md); this pins the
+    plumbing so the flag can't silently detach."""
+    from recombiner_tpu.cli.compress import parse_args as compress_args
+    from recombiner_tpu.cli.rd_sweep import parse_args as sweep_args
+    from recombiner_tpu.utils.platform import apply_matmul_precision
+
+    a = compress_args([
+        "--test_dir", "x", "--test_idx", "0", "--prior_path", "p",
+        "--save_dir", "s", "--precision", "highest",
+    ])
+    assert a.precision == "highest"
+    a = sweep_args(["--dataset", "tiny", "--bitrates", "2.0"])
+    assert a.precision is None  # default stays TPU-native
+
+    prev = jax.config.jax_default_matmul_precision
+    try:
+        apply_matmul_precision(None)  # no-op
+        assert jax.config.jax_default_matmul_precision == prev
+        apply_matmul_precision("highest")
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
