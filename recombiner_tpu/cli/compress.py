@@ -43,7 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
     p.add_argument("--sync_every", type=int, default=1,
                    help="batch the per-group flow-control fetch over K group "
-                        "steps (bounded dispatch queue of K; results identical)")
+                        "steps (bounded dispatch queue of K; results identical). "
+                        "K>1 weakens the per-group liveness heartbeat: progress "
+                        "lines mean dispatch, not device completion, so stall "
+                        "watchdogs see a wedged device up to K groups late. "
+                        "Capped at 8 on multi-device meshes")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=None,
                    help="rematerialize the ELBO forward in backward (fits kodak/video-"
                         "scale encodes in HBM for ~1.3x epoch cost). Default: auto — "
@@ -51,22 +55,25 @@ def parse_args(argv=None):
                         "(an HBM OOM here crashes the TPU worker, it does not raise). "
                         "--no-remat forces it off.")
     p.add_argument("--precision", default=None,
-                   choices=("default", "high", "highest"),
-                   help="matmul precision for the encode (TPU f32 default is "
-                        "bf16 passes; 'highest' = exact f32 recovers ~0.35 dB "
-                        "at 2.8x encode wall — docs/HEAD_TO_HEAD.md)")
+                   choices=("scoped", "scoped_high", "default", "high", "highest"),
+                   help="matmul precision. Default 'scoped': exact-f32 INR "
+                        "einsums in the coding-phase finetunes only — the "
+                        "measured RD-parity point at a fraction of global-"
+                        "'highest' wall (docs/HEAD_TO_HEAD.md). 'default' = "
+                        "TPU bf16 passes everywhere (~0.35 dB below parity); "
+                        "'high'/'highest' = process-global.")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     from recombiner_tpu.utils.platform import (
-        apply_matmul_precision,
         apply_platform_override,
+        apply_precision_mode,
     )
 
     apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
-    apply_matmul_precision(args.precision)
+    coding_precision = apply_precision_mode(args.precision)
     maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     art = load_prior_artifact(args.prior_path)
     cfg = art.config
@@ -149,6 +156,7 @@ def main(argv=None):
         sync_every=args.sync_every,
         remat=args.remat,
         state_extra={"prior_fingerprint": fingerprint},
+        coding_precision=coding_precision,
         **resume,
     )
 

@@ -69,26 +69,36 @@ def parse_args(argv=None):
     p.add_argument("--state_dir", default=None,
                    help="snapshot encode state here every 10 groups and resume from "
                         "it after a crash (pair with --load_prior_dir/--save_prior_dir)")
+    p.add_argument("--skip_encode", action="store_true",
+                   help="train + save the prior per bitrate and stop (no encode); "
+                        "pair with --save_prior_dir")
+    p.add_argument("--rate_control", action=argparse.BooleanOptionalAction, default=True,
+                   help="closed-loop budget aim-off: steer the EM KL window so the "
+                        "REALIZED post-grouping bitrate lands within ~1.5%% of the "
+                        "target (greedy 16-bit packing otherwise overshoots 4-8%%)")
     p.add_argument("--train_state_dir", default=None,
                    help="snapshot full EM training state here every 10 iterations "
                         "and resume mid-EM from it after a crash")
     p.add_argument("--precision", default=None,
-                   choices=("default", "high", "highest"),
-                   help="matmul precision (TPU f32 default is bf16 passes; "
-                        "'highest' = exact f32 recovers ~0.35 dB in the coding "
-                        "phase at 2.8x encode wall — docs/HEAD_TO_HEAD.md)")
+                   choices=("scoped", "scoped_high", "default", "high", "highest"),
+                   help="matmul precision. Default 'scoped': exact-f32 INR "
+                        "einsums in the coding-phase finetunes only — the "
+                        "measured RD-parity point at a fraction of global-"
+                        "'highest' wall (docs/HEAD_TO_HEAD.md). 'default' = "
+                        "TPU bf16 passes everywhere (~0.35 dB below parity); "
+                        "'high'/'highest' = process-global.")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     from recombiner_tpu.utils.platform import (
-        apply_matmul_precision,
         apply_platform_override,
+        apply_precision_mode,
     )
 
     apply_platform_override()  # RECOMBINER_TPU_PLATFORM=cpu etc. (utils/platform.py)
     args = parse_args(argv)
-    apply_matmul_precision(args.precision)
+    coding_precision = apply_precision_mode(args.precision)
     maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     cfg = get_config(args.dataset)
 
@@ -155,9 +165,13 @@ def main(argv=None):
                           flush=True)
 
             def _log(em_iter, rec, state, priors):
+                rate = (
+                    f" rate {rec['realized_bitrate']:.3f} aim {rec['budget_aim']:.3f}"
+                    if "realized_bitrate" in rec else ""
+                )
                 print(
                     f"  EM {done + em_iter + 1}/{args.n_em_iters}: mse {rec['mse']:.5f} "
-                    f"kl {rec['kl_bits']:.1f} bits beta {rec['kl_beta']:.2e}",
+                    f"kl {rec['kl_bits']:.1f} bits beta {rec['kl_beta']:.2e}{rate}",
                     flush=True,
                 )
 
@@ -174,6 +188,7 @@ def main(argv=None):
                 lr=args.lr, log_fn=_log,
                 checkpoint_fn=(_ckpt if ts_path is not None else None),
                 state=state0, priors=priors0, kl_beta=kl_beta0,
+                rate_control=args.rate_control,
             )
             art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
                                        codebook_seed=args.seed)
@@ -184,6 +199,9 @@ def main(argv=None):
 
                 os.makedirs(args.save_prior_dir, exist_ok=True)
                 save_prior_artifact(f"{args.save_prior_dir}/{prior_name}", art)
+        if args.skip_encode:
+            print(f"(--skip_encode) prior saved for bitrate {max_bitrate}", flush=True)
+            continue
         codec, state = init_codec(art, n_rows=Xte.shape[0])
         from recombiner_tpu.io.checkpoint import prior_fingerprint
 
@@ -238,6 +256,7 @@ def main(argv=None):
             remat=remat,
             state_path=state_path,
             state_extra={"prior_fingerprint": fingerprint},
+            coding_precision=coding_precision,
             **resume,
         )
         point = {

@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--later_epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
+    p.add_argument("--rate_control", action=argparse.BooleanOptionalAction, default=True,
+                   help="closed-loop budget aim-off: steer the EM KL window so the "
+                        "REALIZED post-grouping bitrate lands within ~1.5%% of "
+                        "--max_bitrate (greedy 16-bit packing otherwise overshoots 4-8%%)")
     return p.parse_args(argv)
 
 
@@ -115,6 +119,7 @@ def main(argv=None):
         lr=args.lr,
         checkpoint_fn=checkpoint_fn,
         log_fn=log_fn,
+        rate_control=args.rate_control,
     )
     import json
 

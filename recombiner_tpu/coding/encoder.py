@@ -276,7 +276,7 @@ def _effective(ls: LevelState) -> Tuple[jax.Array, jax.Array]:
     return loc, scale
 
 
-@partial(jax.jit, static_argnames=("cfg", "sample_size"))
+@partial(jax.jit, static_argnames=("cfg", "sample_size", "precision"))
 def predict(
     codec: Codec,
     state: CodecState,
@@ -284,6 +284,7 @@ def predict(
     key: jax.Array,
     cfg: ModalityConfig,
     sample_size: int = 1,
+    precision: Optional[str] = None,
 ) -> jax.Array:
     """Render the INR from the current (partially coded) posteriors.
 
@@ -321,7 +322,7 @@ def predict(
         k_w, loc[:, :n_inr], scale[:, :n_inr],
         h_loc, h_scale, hh_loc, hh_scale, S, cfg,
     )
-    return inr_forward(x, h_w, codec.A, cfg)
+    return inr_forward(x, h_w, codec.A, cfg, precision=precision)
 
 
 # ------------------------------------------------------------------- KL
@@ -406,7 +407,7 @@ def _with_trainables(state: CodecState, qs) -> CodecState:
     jax.jit,
     static_argnames=(
         "cfg", "n_epochs", "lr", "sample_size", "kl_adjust_gap", "adjust_betas",
-        "return_opt_state", "remat",
+        "return_opt_state", "remat", "precision",
     ),
     donate_argnums=(1,),
 )
@@ -426,6 +427,7 @@ def optimize(
     opt_state=None,
     return_opt_state: bool = False,
     remat: bool = False,
+    precision: Optional[str] = None,
 ) -> CodecState:
     """MC-ELBO posterior optimization with in-scan beta annealing
     (test_model.py:621-635). By default Adam starts fresh, matching the
@@ -440,12 +442,18 @@ def optimize(
     remat=True rematerializes the ELBO forward in the backward pass
     (jax.checkpoint): cuts the stored activation chain — the dominant HBM
     allocation at kodak/video encode scale, where S=5 over thousands of
-    pixels per row OOMs a 16 GB chip — for ~1.3x epoch compute."""
+    pixels per row OOMs a 16 GB chip — for ~1.3x epoch compute.
+
+    precision scopes exact-f32 matmuls to THIS optimization's INR einsums
+    (models/inr.py); the coding-phase finetunes pass 'highest' to recover
+    the measured ~0.35 dB bf16-pass deficit without taxing phase 1
+    (docs/HEAD_TO_HEAD.md)."""
     opt = optax.adam(lr)
 
     def loss_fn(qs, st: CodecState, k):
         s = _with_trainables(st, qs)
-        y_hat = predict(codec, s, X, k, cfg, sample_size=sample_size)
+        y_hat = predict(codec, s, X, k, cfg, sample_size=sample_size,
+                        precision=precision)
         mse = jnp.mean((y_hat - Y[:, None]) ** 2) * Y.shape[0]
         kl = beta_weighted_kl(s.w, codec.w)
         if s.h is not None:
@@ -631,19 +639,29 @@ def decode_state(codec: Codec, indices: dict, cfg: ModalityConfig) -> CodecState
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "precision"))
 def decode(
     codec: Codec,
     indices: dict,
     X: jax.Array,
     cfg: ModalityConfig,
+    precision: Optional[str] = "highest",
 ) -> jax.Array:
     """indices {'w': (R,G), 'h': ..., 'hh': ...} -> reconstruction (R, P, out).
 
     Deterministic: every posterior is a point mass at the decoded sample.
     Jitted: this is the receiver/serving path (one compiled program per
     geometry), and the encode-side final reconstruction.
+
+    The CANONICAL decode evaluates the INR matmuls in exact f32
+    (precision='highest'): the torch reference decodes in exact f32 by
+    construction, and on TPU the bf16-pass default renders a measurably
+    different (worse) reconstruction at high-PSNR operating points than the
+    one the coding-phase finetunes optimized — the decode forward is one
+    matmul chain per datapoint, so exactness here is ~free
+    (docs/HEAD_TO_HEAD.md round 3).
     """
     state = decode_state(codec, indices, cfg)
-    y = predict(codec, state, X, jax.random.key(0), cfg, sample_size=1)
+    y = predict(codec, state, X, jax.random.key(0), cfg, sample_size=1,
+                precision=precision)
     return y[:, 0]

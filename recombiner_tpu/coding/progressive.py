@@ -93,6 +93,7 @@ def compress(
     resume_key=None,
     chunk_epochs: int = 1000,
     sync_every: int = 1,
+    coding_precision: Optional[str] = "highest",
 ) -> EncodeResult:
     """Full encode: posterior optimization + progressive coding of all levels.
 
@@ -102,7 +103,17 @@ def compress(
     the reference cannot persist at all — its encode state dies with the
     process, test_model.py:700-803); a state whose ``compressed`` masks are
     partially set resumes the group-coding loop. ``state_extra`` is merged
-    into every snapshot header (callers put the prior fingerprint there)."""
+    into every snapshot header (callers put the prior fingerprint there).
+
+    ``coding_precision`` sets the matmul precision of the CODING-PHASE
+    finetunes only (phase-1 optimization always runs at the ambient
+    default). Finetuning against frozen f32 codebook samples is the one
+    precision-sensitive regime — the TPU bf16-pass default costs ~0.35 dB
+    there and nowhere else (docs/HEAD_TO_HEAD.md) — so 'highest' (the
+    default) buys full RD parity with the f32 reference for a fraction of
+    the global-'highest' wall. Pass None to run everything at the ambient
+    default (the pre-round-3 behavior). Bitstream format and decode are
+    precision-independent either way."""
     timings = {}
     t0 = time.perf_counter()
 
@@ -125,7 +136,8 @@ def compress(
     # Adam state carries across chunks, so the math equals one long call
     # (modulo per-epoch RNG stream splits, which are encoder-side only).
     def optimize_chunked(state, key, n_epochs, label=None,
-                         done=0, opt_state=None, snapshot_path=None):
+                         done=0, opt_state=None, snapshot_path=None,
+                         precision=None):
         """Returns (state, advanced key): the outer key chain continues from
         where the chunks left off, so finetune substreams never re-derive
         (key, sub) pairs phase-1 already consumed.
@@ -141,6 +153,7 @@ def compress(
                 codec, state, X, Y, sub,
                 cfg=cfg, n_epochs=n, lr=lr, sample_size=sample_size,
                 opt_state=opt_state, return_opt_state=True, remat=remat,
+                precision=precision,
             )
             done += n
             sync(state.w.kl_beta)  # flow control: one in-flight chunk (small fetch)
@@ -207,6 +220,14 @@ def compress(
     # multi-second per-group finetune, so it is enabled whenever the state
     # spans more than one device.
     multi_device = len(state.w.q.loc.sharding.device_set) > 1
+    # The multi-device rendezvous deadlock appeared at ~20-40 concurrently
+    # dispatched collective programs; cap the un-synced window well below
+    # that regardless of what the caller asked for (ADVICE r2).
+    if multi_device and sync_every > 8:
+        print(f"sync_every {sync_every} capped at 8 on a "
+              f"{len(state.w.q.loc.sharding.device_set)}-device mesh "
+              "(collective-program rendezvous safety)", flush=True)
+        sync_every = 8
     # Single-device flow control: an unbounded async dispatch queue wedged
     # the remote TPU tunnel mid-encode (video run 2026-08-16: host blocked
     # 30+ min in a device fetch with the device silent — see
@@ -236,7 +257,8 @@ def compress(
                 # Fresh Adam per group (reference: fresh optimizer each
                 # finetune) — optimize_chunked threads opt_state across its
                 # internal chunks only.
-                state, _ = optimize_chunked(state, sub, n_ft)
+                state, _ = optimize_chunked(state, sub, n_ft,
+                                            precision=coding_precision)
             # sync_every batches the flow-control fetch over K group steps:
             # the dispatch queue stays bounded at <=K in-flight finetune
             # programs (K=1 reproduces the original per-group barrier; keep
@@ -267,10 +289,15 @@ def compress(
             if state_path is not None and (step_i + 1) % save_every == 0:
                 from recombiner_tpu.io.encode_state import save_encode_state
 
+                # resume_key: a crash-resume mid-coding continues the exact
+                # finetune RNG chain, making the resumed run bit-identical to
+                # an uninterrupted one (mirrors the phase-1 contract; ADVICE r2)
                 save_encode_state(
                     state_path, state,
                     extra={"level": level, "step": step_i,
                            "phase1_epochs_done": n_optimize_epochs,
+                           "resume_key": np.asarray(
+                               jax.random.key_data(key)).tolist(),
                            **(state_extra or {})},
                 )
     sync(state.w.indices)  # true sync: timings must not lie on the tunnel

@@ -236,6 +236,28 @@ KODAK = _mk(
     lowest_bitrate=0.05,
 )
 
+# Kodak's exact topology class (2-D, 3-level patch hierarchy, hidden 32^3)
+# at 64x64-image scale: 2x2 patches of 32x32. Sized so the PyTorch reference
+# engine finishes a FULL-schedule encode in ~2-4 h on one CPU core — the
+# full-schedule patch-mode head-to-head geometry (VERDICT r2 next #4;
+# scripts/head_to_head.py --geometry kodak_mini).
+KODAK_MINI = _mk(
+    "kodak_mini",
+    input_dim=32,
+    output_dim=3,
+    hidden_dims=(32, 32, 32),
+    data_dim=2,
+    pixel_sizes=(32, 32),
+    patch=True,
+    patch_nums=(2, 2),
+    level2_patch_nums=(2, 1),
+    level3_patch_nums=(2, 2),
+    fourier_dim=16,
+    upsample_factors=(16, 16),
+    bitrate_range=0.1,
+    lowest_bitrate=0.05,
+)
+
 AUDIO = _mk(
     "audio",
     input_dim=32,
@@ -370,7 +392,7 @@ TINY_VIDEO = _mk(
 CONFIGS = {
     c.name: c
     for c in (
-        CIFAR, KODAK, AUDIO, VIDEO, PROTEIN,
+        CIFAR, KODAK, KODAK_MINI, AUDIO, VIDEO, PROTEIN,
         TINY, TINY_PATCH, TINY_AUDIO, TINY_VIDEO,
     )
 }

@@ -26,9 +26,11 @@ def preprocess_clip(video_thwc: np.ndarray) -> np.ndarray | None:
     of the reference preprocessor (data/video.py:22-33: first 24 frames,
     CenterCrop 240, Resize 128, /255).
 
-    Uses torch-core bilinear interpolation (the reference goes through
-    torchvision.transforms.Resize, same bilinear family); corpus-level
-    pixel parity is unverifiable here, RD-level behavior is what matters."""
+    The 240->128 downsample uses ANTIALIASED bilinear interpolation: the
+    reference goes through torchvision.transforms.Resize on tensors, which
+    applies antialias by default in modern torchvision (>=0.17) — matching
+    plain interpolate(bilinear) would alias differently (ADVICE r2). Pinned
+    as the corpus-regeneration convention in docs/FORMAT.md."""
     import torch
 
     video = torch.as_tensor(np.asarray(video_thwc)).permute([0, 3, 1, 2])[:N_FRAMES]
@@ -38,7 +40,8 @@ def preprocess_clip(video_thwc: np.ndarray) -> np.ndarray | None:
     w0 = (video.shape[-1] - CROP) // 2
     video = video[..., h0 : h0 + CROP, w0 : w0 + CROP].float()
     video = torch.nn.functional.interpolate(
-        video, size=(SIZE, SIZE), mode="bilinear", align_corners=False
+        video, size=(SIZE, SIZE), mode="bilinear", align_corners=False,
+        antialias=True,
     )
     clip = video.numpy().astype(np.float32) / 255.0  # (T,C,H,W)
     return np.moveaxis(clip, 1, -1)  # (T,H,W,C)

@@ -18,6 +18,13 @@ import numpy as np
 T = TypeVar("T")
 
 
+class SnapshotRejected(ValueError):
+    """A snapshot that is VALID on disk but must not be used (newer format
+    version, wrong prior fingerprint). Never quarantined by
+    load_snapshot_or_none — quarantining would silently restart hours of
+    work over a condition the caller needs to see."""
+
+
 def _npz_path(path: str) -> str:
     return path if str(path).endswith(".npz") else str(path) + ".npz"
 
@@ -44,18 +51,30 @@ def load_snapshot_or_none(
     reported, renamed out of the way so the next snapshot can land, and
     treated as absent — losing ≤10 iterations/groups of rework beats a
     crash-loop."""
+    import json
     import zipfile
+    import zlib
 
     final = _npz_path(path)
     if not os.path.exists(final):
         return None, None
     try:
         return loader(path), None
-    except (zipfile.BadZipFile, EOFError, KeyError) as e:
+    except (
+        zipfile.BadZipFile,
+        EOFError,
+        KeyError,
+        json.JSONDecodeError,  # torn __header__ json
+        zlib.error,  # truncated deflate stream inside the zip
+        ValueError,  # numpy "cannot reshape"/"truncated" on a torn member
+    ) as e:
         # corruption-shaped only (torn/truncated npz, missing members).
-        # Anything else — version mismatches, fingerprint mismatches,
-        # transient memory errors — re-raises: quarantining a VALID snapshot
-        # for a transient reason silently restarts hours of work.
+        # SnapshotRejected (version/fingerprint mismatches — valid files the
+        # caller must see) and anything else (transient memory errors)
+        # re-raise: quarantining a VALID snapshot silently restarts hours
+        # of work.
+        if isinstance(e, SnapshotRejected):
+            raise
         quarantine = final + ".corrupt"
         try:
             os.replace(final, quarantine)

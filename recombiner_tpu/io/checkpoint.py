@@ -100,8 +100,18 @@ def prior_fingerprint(art: PriorArtifact) -> str:
         hsh.update(np.ascontiguousarray(lv.p_loc, np.float32).tobytes())
         hsh.update(np.ascontiguousarray(lv.p_scale, np.float32).tobytes())
         hsh.update(np.ascontiguousarray(lv.grouping.param2group, np.int32).tobytes())
+        # avg_log_scale seeds the test-posterior init (encoder.py) — two
+        # artifacts differing only here would encode differently
+        hsh.update(np.ascontiguousarray(lv.avg_log_scale, np.float32).tobytes())
     for a in art.A:
         hsh.update(np.ascontiguousarray(a, np.float32).tobytes())
+    # the upsampler is part of the decode path the frozen samples were
+    # optimized against; without it two artifacts differing only in up-net
+    # weights fingerprint identically (ADVICE r2)
+    for name in sorted(art.up):
+        hsh.update(name.encode())
+        hsh.update(np.ascontiguousarray(art.up[name]["w"], np.float32).tobytes())
+        hsh.update(np.ascontiguousarray(art.up[name]["b"], np.float32).tobytes())
     return hsh.hexdigest()[:16]
 
 

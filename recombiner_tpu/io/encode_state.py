@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from recombiner_tpu.coding.encoder import CodecState, LevelState
-from recombiner_tpu.io.atomic import atomic_savez
+from recombiner_tpu.io.atomic import SnapshotRejected, atomic_savez
 from recombiner_tpu.models.gaussian import Gaussian
 
 STATE_VERSION = 2
@@ -77,7 +77,9 @@ def load_encode_state_full(path: str, expect_fingerprint: Optional[str] = None):
     z = np.load(path if str(path).endswith(".npz") else path + ".npz")
     header = json.loads(bytes(z["__header__"]).decode())
     if header["version"] > STATE_VERSION:
-        raise ValueError(f"encode state version {header['version']} unsupported")
+        raise SnapshotRejected(
+            f"encode state version {header['version']} unsupported"
+        )
     snap_fp = header.get("prior_fingerprint")
     if expect_fingerprint is not None and snap_fp is not None and snap_fp != expect_fingerprint:
         raise FingerprintMismatch(
@@ -105,7 +107,7 @@ def load_encode_state_full(path: str, expect_fingerprint: Optional[str] = None):
     return CodecState(w=level("w"), h=level("h"), hh=level("hh")), header, opt_leaves
 
 
-class FingerprintMismatch(ValueError):
+class FingerprintMismatch(SnapshotRejected):
     """Snapshot belongs to a different prior artifact; never quarantined by
     io.atomic.load_snapshot_or_none (it is not corruption)."""
 

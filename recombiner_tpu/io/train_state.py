@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from recombiner_tpu.config import ModalityConfig
-from recombiner_tpu.io.atomic import atomic_savez
+from recombiner_tpu.io.atomic import SnapshotRejected, atomic_savez
 from recombiner_tpu.parallel.launch import fetch_global
 from recombiner_tpu.priors.trainer import (
     PriorState,
@@ -61,7 +61,9 @@ def load_train_state(
     z = np.load(path if str(path).endswith(".npz") else path + ".npz")
     header = json.loads(bytes(z["__header__"]).decode())
     if header["version"] > STATE_VERSION:
-        raise ValueError(f"train state version {header['version']} unsupported")
+        raise SnapshotRejected(
+            f"train state version {header['version']} unsupported"
+        )
 
     # pytree structure is a pure function of (cfg, train_size): rebuild the
     # template and pour the stored leaves back in

@@ -44,7 +44,7 @@ def metric(original: np.ndarray, compressed: np.ndarray, dataset: str):
     arrays; kodak/video/audio a scalar."""
     if dataset in ("cifar", "tiny", "tiny_patch"):
         return batch_psnr(original, compressed, round8=True)
-    if dataset in ("kodak", "video", "tiny_video"):
+    if dataset in ("kodak", "kodak_mini", "video", "tiny_video"):
         return psnr(original, compressed, round8=True)
     if dataset in ("audio", "tiny_audio"):
         return psnr(original, compressed, round8=False)

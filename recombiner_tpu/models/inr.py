@@ -18,6 +18,26 @@ import jax.numpy as jnp
 from recombiner_tpu.config import ModalityConfig
 
 
+def resolve_precision(precision):
+    """Map a precision flag ('default'/'high'/'highest'/None) to a
+    jax.lax.Precision or None (= inherit jax_default_matmul_precision).
+
+    On TPU, f32 matmuls default to one bf16 pass per operand product
+    (f32 accumulate). HIGH = 3 bf16 passes (~tf32-grade products),
+    HIGHEST = 6 passes (exact f32). Measured head-to-head vs the torch-CPU
+    reference (docs/HEAD_TO_HEAD.md): the single-pass default costs
+    ~0.35 dB in the progressive-coding phase only, so callers scope
+    HIGHEST to the coding-phase finetunes instead of paying it globally.
+    """
+    if precision is None or isinstance(precision, jax.lax.Precision):
+        return precision
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+
+
 def init_linear_transform(key: jax.Array, net_dims: Sequence[int]) -> List[jax.Array]:
     """One learned square matrix per INR layer, shape (out*(in+1),)^2,
     init U(-1/d, 1/d) (prior_model.py:16-21)."""
@@ -49,6 +69,7 @@ def inr_forward(
     h_w: jax.Array,
     A: Sequence[jax.Array],
     cfg: ModalityConfig,
+    precision=None,
 ) -> jax.Array:
     """Evaluate the INR on a batch of coordinate grids.
 
@@ -56,9 +77,15 @@ def inr_forward(
         x: (R, S, P, input_dim) per-point features (Fourier + upsampled PE).
         h_w: (R, S, n_inr_params) sampled weight latents.
         A: list of per-layer linear-transform matrices.
+        precision: per-op matmul precision for BOTH einsums (the latent @ A
+            transform and the pixel chain x @ W) — None inherits the global
+            default. The coding-phase finetunes pass 'highest' here (scoped
+            RD-parity fix, docs/HEAD_TO_HEAD.md) so the rest of the pipeline
+            keeps single-pass MXU throughput.
     Returns:
         (R, S, P, output_dim) predictions.
     """
+    prec = resolve_precision(precision)
     dims = cfg.net_dims
     cum = cfg.cum_param_sizes
     # NOTE: measured on v5e — casting inputs to bf16 is a net LOSS here
@@ -68,10 +95,12 @@ def inr_forward(
     # conv stack (see models/upsample.py) but defaults to f32.
     for idx in range(cfg.n_layers):
         lat = slice_layer(h_w, idx, cum)
-        lat = jnp.einsum("rsd,de->rse", lat, A[idx], preferred_element_type=jnp.float32)
+        lat = jnp.einsum("rsd,de->rse", lat, A[idx],
+                         preferred_element_type=jnp.float32, precision=prec)
         w, b = latent_to_weights(lat, dims[idx], dims[idx + 1])
         x = (
-            jnp.einsum("rspi,rsio->rspo", x, w, preferred_element_type=jnp.float32)
+            jnp.einsum("rspi,rsio->rspo", x, w,
+                       preferred_element_type=jnp.float32, precision=prec)
             + b[:, :, None, :]
         )
         if idx != cfg.n_layers - 1:

@@ -46,3 +46,29 @@ def apply_matmul_precision(precision: str | None) -> None:
         import jax
 
         jax.config.update("jax_default_matmul_precision", precision)
+
+
+#: CLI choices for --precision. 'scoped' (the default) = ambient default
+#: everywhere EXCEPT the coding-phase finetunes, which run their INR einsums
+#: at exact f32 — the measured RD-parity operating point (docs/HEAD_TO_HEAD.md).
+PRECISION_CHOICES = ("scoped", "scoped_high", "default", "high", "highest")
+
+
+def apply_precision_mode(precision: str | None) -> str | None:
+    """Apply a --precision flag; returns the coding-phase precision to pass
+    to ``compress(coding_precision=...)``.
+
+    - None / 'scoped': no global change; coding finetunes at 'highest'.
+    - 'scoped_high': no global change; coding finetunes at 'high' (3-pass).
+    - 'default': everything at the ambient default (pre-round-3 behavior).
+    - 'high' / 'highest': process-global default_matmul_precision (the
+      round-2 knob); coding_precision=None inherits it.
+    """
+    if precision in (None, "scoped"):
+        return "highest"
+    if precision == "scoped_high":
+        return "high"
+    if precision == "default":
+        return None
+    apply_matmul_precision(precision)
+    return None

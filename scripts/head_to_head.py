@@ -31,17 +31,22 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF = "/root/reference"
-PRIOR = "docs/schedule_priors/PRIOR_rd_cifar_bitrate=2.npz"
+PRIORS = {
+    "cifar": "docs/schedule_priors/PRIOR_rd_cifar_bitrate=2.npz",
+    # full-EM kodak-topology prior (2x2 patches of 32x32, 3-level hierarchy)
+    # trained by scripts/r3_patch_prior.sh — the patch-mode h2h geometry
+    "kodak_mini": "docs/schedule_priors/PRIOR_rd_kodak_mini_bitrate=2.npz",
+}
 N_OPT = 30000
 
 
-def load_shared(n_images: int):
+def load_shared(n_images: int, geometry: str = "cifar"):
     import jax
 
     from recombiner_tpu.io.checkpoint import load_prior_artifact
     from recombiner_tpu.data.synthetic import synthetic_dataset
 
-    art = load_prior_artifact(PRIOR)
+    art = load_prior_artifact(PRIORS[geometry])
     # the schedule study's test set is synthetic_dataset(cfg, 125, seed=43)
     # (rd_sweep --synthetic 500 => test seed 42+1); its first n_images rows
     # are generator-prefix-stable
@@ -50,7 +55,8 @@ def load_shared(n_images: int):
 
 
 def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
-             seed: int = 7, codebook: str | None = None) -> dict:
+             seed: int = 7, codebook: str | None = None,
+             coding_precision: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -92,6 +98,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         codec, state, jnp.asarray(X), jnp.asarray(Y), cfg, jax.random.key(seed),
         n_optimize_epochs=N_OPT, sample_size=5, verbose=True,
         state_path=state_path, state_extra={"prior_fingerprint": fingerprint},
+        coding_precision=coding_precision,
         **resume,
     )
     wall = time.perf_counter() - t0
@@ -108,6 +115,11 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
 
 
 def run_torch(art, X, Y, out_path: str) -> dict:
+    """The reference's own TestBNNmodel end to end, geometry taken from the
+    artifact config — wires BOTH the nonpatch branch (main_compression.py:
+    37-145) and the 3-level patch branch (h/hh priors reordered by their own
+    param2group, hierarchical_patch_nums, reference finetune budgets
+    main_compression.py:156-158)."""
     import sys
 
     import torch
@@ -124,28 +136,41 @@ def run_torch(art, X, Y, out_path: str) -> dict:
     from recombiner_tpu.metrics import metric
     import pickle
 
+    cfg = art.config
     pkl = out_path + ".prior.pkl"
     export_reference_checkpoint(art, pkl, reference_path=REF)
 
     with open(pkl, "rb") as f:
-        (group_idx, group_start, group_end, group2param, param2group,
-         n_groups, group_kls, weights) = pickle.load(f)
+        g1 = pickle.load(f)
         prior_loc, prior_scale, kl_beta, avg_ls = pickle.load(f)
-        for _ in range(4):
-            pickle.load(f)
+        gh = pickle.load(f)
+        h_prior = pickle.load(f)
+        ghh = pickle.load(f)
+        hh_prior = pickle.load(f)
         lt = pickle.load(f)
         up = pickle.load(f)
 
-    # main_compression.py:47-73 wiring: group-order priors, inv-softplus
-    _p_loc = prior_loc.clone()[param2group]
-    _p_ls = torch.log(torch.exp(prior_scale * 6) - 1).clone()[param2group]
-    _avg = avg_ls[param2group].cpu().detach()
-    m = ref_test_model.TestBNNmodel(
-        in_dim=32, hidden_dims=[32, 32, 32], out_dim=3,
-        number_of_datapoints=X.shape[0],
-        upsample_factors=[16, 16], latent_dim=128, data_dim=2,
-        pixel_sizes=[32, 32], patch=False, patch_nums=None,
-        hierarchical_patch_nums=None, dataset="cifar",
+    def reorder(loc, scale, avg, p2g):
+        # main_compression.py:47-73 wiring: group-order priors, inv-softplus
+        return (loc.clone()[p2g],
+                torch.log(torch.exp(scale * 6) - 1).clone()[p2g],
+                avg[p2g].cpu().detach())
+
+    (group_idx, group_start, group_end, group2param, param2group,
+     n_groups, *_r) = g1
+    _p_loc, _p_ls, _avg = reorder(prior_loc, prior_scale, avg_ls, param2group)
+    kw = dict(
+        in_dim=cfg.input_dim, hidden_dims=list(cfg.hidden_dims),
+        out_dim=cfg.output_dim, number_of_datapoints=X.shape[0],
+        upsample_factors=list(cfg.upsample_factors), latent_dim=cfg.latent_dim,
+        data_dim=cfg.data_dim, pixel_sizes=list(cfg.pixel_sizes),
+        patch=cfg.patch,
+        patch_nums=list(cfg.patch_nums) if cfg.patch else None,
+        hierarchical_patch_nums=(
+            {"level2": list(cfg.level2_patch_nums),
+             "level3": list(cfg.level3_patch_nums)} if cfg.patch else None
+        ),
+        dataset={"kodak_mini": "kodak"}.get(cfg.name, cfg.name),
         linear_transform=lt, upsample_net=up,
         p_loc=_p_loc, p_log_scale=_p_ls, init_log_scale=_avg,
         param_to_group=param2group, group_to_param=group2param,
@@ -155,23 +180,42 @@ def run_torch(art, X, Y, out_path: str) -> dict:
         kl_upper_buffer=0., kl_lower_buffer=0.4, kl_adjust_gap=10,
         initial_beta=kl_beta, beta_step_size=0.05,
     )
+    h_n = hh_n = 0
+    if cfg.patch:
+        (h_gi, h_gs, h_ge, h_g2p, h_p2g, h_n, *_r) = gh
+        (hh_gi, hh_gs, hh_ge, hh_g2p, hh_p2g, hh_n, *_r) = ghh
+        _h_loc, _h_ls, _h_avg = reorder(h_prior[0], h_prior[1], h_prior[3], h_p2g)
+        _hh_loc, _hh_ls, _hh_avg = reorder(hh_prior[0], hh_prior[1], hh_prior[3], hh_p2g)
+        kw.update(
+            h_p_loc=_h_loc, h_p_log_scale=_h_ls, h_init_log_scale=_h_avg,
+            h_param_to_group=h_p2g, h_group_to_param=h_g2p, h_n_groups=h_n,
+            h_group_start_index=h_gs, h_group_end_index=h_ge, h_group_idx=h_gi,
+            hh_p_loc=_hh_loc, hh_p_log_scale=_hh_ls, hh_init_log_scale=_hh_avg,
+            hh_param_to_group=hh_p2g, hh_group_to_param=hh_g2p, hh_n_groups=hh_n,
+            hh_group_start_index=hh_gs, hh_group_end_index=hh_ge,
+            hh_group_idx=hh_gi,
+        )
+    m = ref_test_model.TestBNNmodel(**kw)
     x, y = torch.from_numpy(X), torch.from_numpy(Y)
+    # reference finetune budgets (main_compression.py:156-158)
     n_ft = max(N_OPT // int(n_groups), 50)
+    h_ft = max(15000 // int(h_n), 20) if cfg.patch else None
+    hh_ft = max(15000 // int(hh_n), 20) if cfg.patch else None
     t0 = time.perf_counter()
     m.optimize_posteriors(x, y, n_epochs=N_OPT, lr=2e-4, verbose=1)
     m.compress_posteriors(
-        x, y, n_epochs_finetune=n_ft, h_n_epochs_finetune=None,
-        hh_n_epochs_finetune=None, verbose=1, lr=2e-4, fine_tune_gap=1,
+        x, y, n_epochs_finetune=n_ft, h_n_epochs_finetune=h_ft,
+        hh_n_epochs_finetune=hh_ft, verbose=1, lr=2e-4, fine_tune_gap=1,
         compress_from_group_with_largest_kl=True,
     )
     wall = time.perf_counter() - t0
     with torch.no_grad():
         y_pred = m.predict(x, random_seed=0, sample_size=1)
-    psnr = metric(Y, y_pred.numpy(), "cifar")
+    psnr = metric(Y, y_pred.numpy(), cfg.name)
     rec = {
         "side": "torch_reference",
         "psnr": float(np.mean(psnr)),
-        "bitrate_bpp": float(int(n_groups) * 16 / (32 * 32)),
+        "bitrate_bpp": float(cfg.bitrate_of_groups(int(n_groups), int(h_n), int(hh_n))),
         "n_groups": int(n_groups),
         "finetune_epochs": n_ft,
         "wall_s": round(wall, 1),
@@ -183,6 +227,9 @@ def run_torch(art, X, Y, out_path: str) -> dict:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--side", required=True, choices=("torch", "ours"))
+    p.add_argument("--geometry", default="cifar", choices=tuple(PRIORS),
+                   help="cifar: nonpatch 32x32; kodak_mini: 3-level patch "
+                        "hierarchy (2x2 patches of 32x32, VERDICT r3 #4)")
     p.add_argument("--n_images", type=int, default=8)
     p.add_argument("--out", required=True)
     p.add_argument("--n_opt", type=int, default=None,
@@ -193,13 +240,21 @@ def main() -> None:
                    help="ours side: encode RNG seed (seed-variance studies)")
     p.add_argument("--codebook", default=None, choices=(None, "threefry", "sobol"),
                    help="ours side: override the artifact's codebook kind")
-    p.add_argument("--precision", default=None,
-                   choices=(None, "default", "high", "highest"),
-                   help="ours side: jax default_matmul_precision (TPU f32 "
-                        "matmuls default to bf16 passes; torch-CPU is exact "
-                        "f32 — 'highest' removes that asymmetry)")
+    p.add_argument("--precision", default="default",
+                   choices=("scoped", "scoped_high", "default", "high", "highest"),
+                   help="ours side: matmul precision mode. 'scoped'[_high] = "
+                        "coding-phase finetune INR einsums only (the shipped "
+                        "default operating point); 'high'/'highest' = "
+                        "process-global; 'default' = bf16 passes everywhere "
+                        "(torch-CPU is exact f32 — 'highest'/'scoped' removes "
+                        "that asymmetry)")
     args = p.parse_args()
-    if args.precision:
+    coding_precision = None
+    if args.precision == "scoped":
+        coding_precision = "highest"
+    elif args.precision == "scoped_high":
+        coding_precision = "high"
+    elif args.precision in ("high", "highest"):
         import jax
 
         jax.config.update("jax_default_matmul_precision", args.precision)
@@ -216,15 +271,17 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    art, X, Y = load_shared(args.n_images)
+    art, X, Y = load_shared(args.n_images, args.geometry)
     rec = run_torch(art, X, Y, args.out) if args.side == "torch" else run_ours(
         art, X, Y, args.out, state_path=args.state,
         seed=args.enc_seed, codebook=args.codebook,
+        coding_precision=coding_precision,
     )
+    rec["geometry"] = args.geometry
     if args.side == "ours":
         rec["enc_seed"] = args.enc_seed
         rec["codebook"] = args.codebook or "artifact-default"
-        rec["matmul_precision"] = args.precision or "default"
+        rec["matmul_precision"] = args.precision
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec), flush=True)

