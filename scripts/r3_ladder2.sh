@@ -16,8 +16,10 @@ run_h2h () {
       --codebook sobol --precision ${mode} --out ${out} \
       --state /tmp/h2h2_state_${mode}_${seed} >> /tmp/r3_ladder2.log 2>&1
   echo "=== h2h $mode seed $seed rc=$? ===" >> /tmp/r3_ladder2.log
+  sleep 60
 }
 
 run_h2h scoped 8 docs/head_to_head/ours_s8_sobol_scoped_v2.json
 run_h2h default 8 docs/head_to_head/ours_s8_sobol_default_hpdec.json
 echo "=== LADDER2 STAGE A COMPLETE ===" >> /tmp/r3_ladder2.log
+touch /tmp/r3_ladder2_done

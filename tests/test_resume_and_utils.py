@@ -359,3 +359,109 @@ def test_apply_matmul_precision_plumbing():
         assert jax.config.jax_default_matmul_precision == "highest"
     finally:
         jax.config.update("jax_default_matmul_precision", prev)
+
+
+def test_coding_loop_resume_bit_identical(artifact, tmp_path):
+    """Kill-and-restart MID-CODING: the group-loop snapshot now persists the
+    RNG key (ADVICE r2), so a resumed encode replays the remaining groups'
+    finetune RNG chain exactly and the final bitstream + posteriors are
+    bit-identical to the uninterrupted run — the same contract the phase-1
+    test above pins."""
+    import recombiner_tpu.io.encode_state as es_mod
+    from recombiner_tpu.io.encode_state import load_encode_state_full
+
+    cfg, art, X, Y = artifact
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+    kw = dict(n_optimize_epochs=4, lr=2e-3, sample_size=2,
+              finetune_overrides={"w": 1}, chunk_epochs=4)
+
+    codec, state_a = init_codec(art, n_rows=2)
+    res_a = compress(codec, state_a, Xj, Yj, cfg, jax.random.key(5), **kw)
+
+    # interrupted run: crash right after the coding-loop snapshot at group 10
+    codec, state_b = init_codec(art, n_rows=2)
+    p = str(tmp_path / "enc_coding")
+
+    class Boom(RuntimeError):
+        pass
+
+    orig_save = es_mod.save_encode_state
+    calls = {"n": 0}
+
+    def crash_on_coding_snapshot(path, state, **kwargs):
+        orig_save(path, state, **kwargs)
+        if "level" in (kwargs.get("extra") or {}):  # group-loop snapshots only
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise Boom()
+
+    es_mod.save_encode_state = crash_on_coding_snapshot
+    try:
+        with pytest.raises(Boom):
+            compress(codec, state_b, Xj, Yj, cfg, jax.random.key(5),
+                     state_path=p, save_every=10, **kw)
+    finally:
+        es_mod.save_encode_state = orig_save
+
+    state_l, header, _ = load_encode_state_full(p)
+    assert header["level"] == "w" and "resume_key" in header
+    res_b = compress(codec, state_l, Xj, Yj, cfg, jax.random.key(5),
+                     resume_key=header["resume_key"], **kw)
+    np.testing.assert_array_equal(
+        np.asarray(res_a.state.w.indices), np.asarray(res_b.state.w.indices)
+    )
+    np.testing.assert_array_equal(res_a.reconstruction, res_b.reconstruction)
+    np.testing.assert_array_equal(
+        np.asarray(res_a.state.w.q.loc), np.asarray(res_b.state.w.q.loc)
+    )
+
+
+def test_version_rejection_not_quarantined(artifact, tmp_path):
+    """A snapshot with a NEWER format version is valid data the caller must
+    see (SnapshotRejected), never silently quarantined as corruption."""
+    import recombiner_tpu.io.encode_state as es_mod
+    from recombiner_tpu.io.atomic import SnapshotRejected, load_snapshot_or_none
+    from recombiner_tpu.io.encode_state import load_encode_state_full
+
+    cfg, art, X, Y = artifact
+    codec, state = init_codec(art, n_rows=2)
+    p = str(tmp_path / "enc_vers")
+    orig = es_mod.STATE_VERSION
+    es_mod.STATE_VERSION = orig + 1
+    try:
+        save_encode_state(p, state)
+    finally:
+        es_mod.STATE_VERSION = orig
+    with pytest.raises(SnapshotRejected):
+        load_snapshot_or_none(p, load_encode_state_full)
+    assert os.path.exists(p + ".npz")  # kept in place
+
+
+def test_quarantine_covers_torn_header_and_members(tmp_path):
+    """Corruption shapes beyond BadZipFile — a torn json __header__ and a
+    truncated npy member — must quarantine and report, not crash-loop the
+    babysit relaunch cycle (ADVICE r2)."""
+    import zipfile
+
+    from recombiner_tpu.io.atomic import atomic_savez, load_snapshot_or_none
+
+    def loader(path):
+        z = np.load(path + ".npz")
+        header = json.loads(bytes(z["__header__"]).decode())
+        return header, z["a"][:]
+
+    # torn header json
+    p = str(tmp_path / "torn_header")
+    atomic_savez(p, {"__header__": np.frombuffer(b'{"version": 1', np.uint8),
+                     "a": np.arange(4)})
+    got, reason = load_snapshot_or_none(p, loader)
+    assert got is None and "unreadable" in reason
+    assert os.path.exists(p + ".npz.corrupt")
+
+    # valid zip whose npy members are truncated (numpy raises ValueError)
+    p2 = str(tmp_path / "torn_member")
+    with zipfile.ZipFile(p2 + ".npz", "w") as z:
+        z.writestr("__header__.npy", b"\x93NUMPY\x01\x00")  # truncated header
+        z.writestr("a.npy", b"\x93NUMPY\x01\x00")
+    got, reason = load_snapshot_or_none(p2, loader)
+    assert got is None and os.path.exists(p2 + ".npz.corrupt")
