@@ -17,8 +17,10 @@ executable and ~20-40 s per jit compile — CLAUDE.md):
 
 What is measured (warm-exact-executable discipline, sync via device_get):
   1. encode epoch_s: steady-state S=5 posterior-optimization epoch, R=500,
-     at the DEFAULT precision (phase-1 rate) AND at 'highest' INR-einsum
-     precision (epoch_hp_s — the scoped coding-phase finetune rate);
+     at the DEFAULT precision (the rate of BOTH phase-1 and the coding-phase
+     finetunes under the shipped default) AND at 'highest' INR-einsum
+     precision (epoch_hp_s — the opt-in 'scoped' finetune rate, reported in
+     details for the precision ladder);
   2. code_step_s: one on-device A* coding step (all 500 rows at once);
   3. prior_epoch_s: steady-state S=1 prior-training epoch (BASELINE.md's
      "prior-training steps/sec" metric);
@@ -33,12 +35,16 @@ What is measured (warm-exact-executable discipline, sync via device_get):
 Headline: datapoints/sec for the FULL reference encode schedule (30,000
 optimize epochs + max(30000/n_groups,50)-epoch finetunes,
 main_compression.py:148-162) at the MATCHED-RD operating point — the
-shipped default: phase-1 at TPU-native precision, coding-phase finetunes
-at exact f32, which reaches the torch reference's RD (42.33 +- 0.10 vs
-42.348 dB at 1.953 bpp, docs/HEAD_TO_HEAD.md). Quality-matched throughput,
-not throughput at a quality deficit (VERDICT r2 weak #1):
-  total_s = 30000 * epoch_s + finetune_epochs_total * epoch_hp_s
+shipped default: ALL epochs at TPU-native precision with unconditional
+exact-f32 A* scoring + decode, which reaches the torch reference's RD
+(42.25 dB default-finetunes vs 42.348 torch at 1.953 bpp; the round-3
+ladder measured finetune precision RD-neutral once scoring/decode are
+exact — docs/HEAD_TO_HEAD.md). Quality-matched throughput, not throughput
+at a quality deficit (VERDICT r2 weak #1):
+  total_s = (30000 + finetune_epochs_total) * epoch_s
             + n_groups * (code_step_s + group_overhead_s)
+(code_step_s already contains the exact-f32 scoring matmuls — they are
+unconditional in encode_step_level.)
 
 vs_baseline: ours / the REALISTIC A100 band for the torch reference —
 an analytic roofline at the reference's exact shapes with a measured
@@ -51,9 +57,9 @@ best case is in details (vs_baseline_bestcase) with its full derivation:
     on CUDA cores at <= 19.5 TF/s (A100 peak FP32);
   - its upsampler convs go through cudnn, where allow_tf32 defaults True
     => <= 156 TF/s (A100 TF32 tensor-core peak);
-  - the reference computes f32 exactly BY CONSTRUCTION, so charging our
-    schedule with scoped-f32 finetune epochs is the apples-to-apples
-    quality-matched comparison;
+  - the reference computes f32 exactly BY CONSTRUCTION; our shipped default
+    matches its RD (exact-f32 scoring/decode), so the default epoch rate is
+    the apples-to-apples quality-matched comparison;
   - per-dollar line: v5e-1 on-demand ~$1.20/chip-hr vs A100-40GB
     ~$3.67/GPU-hr (GCP a2-highgpu-1g, public list prices 2024) in details.
 """
@@ -195,12 +201,11 @@ def main() -> None:
         )
 
         total_epochs = full_schedule_epochs(n_groups)
-        ft_epochs = total_epochs - N_OPT_EPOCHS
-        # matched-RD (scoped precision) operating point: phase-1 at default,
-        # coding-phase finetunes at exact-f32 INR einsums (the shipped default)
+        # matched-RD shipped default: every epoch at TPU-native precision;
+        # the exact-f32 surfaces (A* scoring, decode) are unconditional and
+        # already inside step_s / outside the encode loop respectively
         total_s = (
-            N_OPT_EPOCHS * epoch_s
-            + ft_epochs * epoch_hp_s
+            total_epochs * epoch_s
             + n_groups * (step_s + group_overhead_s)
         )
         ours_dp_s = N_IMAGES / total_s
@@ -228,10 +233,12 @@ def main() -> None:
         )
         details = {
             "operating_point": (
-                "matched-RD (shipped default): phase-1 epochs at TPU-native "
-                "precision, coding-phase finetune epochs at exact-f32 INR "
-                "einsums — RD parity with the f32 torch reference "
-                "(docs/HEAD_TO_HEAD.md)"
+                "matched-RD (shipped default): all epochs at TPU-native "
+                "precision, A* scoring + decode at unconditional exact f32 "
+                "— RD parity with the f32 torch reference; finetune "
+                "precision measured RD-neutral once those are exact "
+                "(docs/HEAD_TO_HEAD.md round-3 ladder). epoch_hp_s is the "
+                "opt-in --precision scoped finetune rate."
             ),
             "epoch_s": round(epoch_s, 5),
             "epoch_hp_s": round(epoch_hp_s, 5),
@@ -328,8 +335,9 @@ def main() -> None:
     meas["epoch_s"] = (time.perf_counter() - t0) / N_MEAS
     emit(partial=True)
 
-    # -------- 1b. scoped-precision finetune epoch rate ('highest' INR einsums
-    # — the coding-phase rate of the matched-RD default operating point)
+    # -------- 1b. 'scoped' finetune epoch rate ('highest' INR einsums — the
+    # opt-in belt-and-braces knob; measured RD-neutral vs the default, kept
+    # in details for the precision ladder)
     hp_kw = dict(opt_kw, precision="highest")
     for k in (4, 5):
         state, _ = optimize(codec, state, Xj, Yj, jax.random.key(k), **hp_kw)

@@ -56,12 +56,13 @@ def parse_args(argv=None):
                         "--no-remat forces it off.")
     p.add_argument("--precision", default=None,
                    choices=("scoped", "scoped_high", "default", "high", "highest"),
-                   help="matmul precision. Default 'scoped': exact-f32 INR "
-                        "einsums in the coding-phase finetunes only — the "
-                        "measured RD-parity point at a fraction of global-"
-                        "'highest' wall (docs/HEAD_TO_HEAD.md). 'default' = "
-                        "TPU bf16 passes everywhere (~0.35 dB below parity); "
-                        "'high'/'highest' = process-global.")
+                   help="matmul precision. The default is already the measured "
+                        "RD-parity point: TPU-native bf16-pass optimization with "
+                        "unconditional exact-f32 A* scoring + decode "
+                        "(docs/HEAD_TO_HEAD.md round 3). 'scoped'/'scoped_high' "
+                        "additionally run the coding-phase finetune einsums at "
+                        "exact-f32/3-pass (measured RD-neutral, +15-31%% epoch "
+                        "cost); 'high'/'highest' = process-global.")
     return p.parse_args(argv)
 
 

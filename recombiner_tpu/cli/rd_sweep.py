@@ -72,6 +72,11 @@ def parse_args(argv=None):
     p.add_argument("--skip_encode", action="store_true",
                    help="train + save the prior per bitrate and stop (no encode); "
                         "pair with --save_prior_dir")
+    p.add_argument("--em_chunk", type=int, default=10,
+                   help="EM iterations per compiled program (trainer checkpoint_every). "
+                        "1 = one program per EM iteration — the conservative mode that "
+                        "sidesteps a tunnel-side worker fault observed on long nested-scan "
+                        "programs for the audio geometry (docs/rd_full_audio_r3.log)")
     p.add_argument("--rate_control", action=argparse.BooleanOptionalAction, default=True,
                    help="closed-loop budget aim-off: steer the EM KL window so the "
                         "REALIZED post-grouping bitrate lands within ~1.5%% of the "
@@ -81,12 +86,13 @@ def parse_args(argv=None):
                         "and resume mid-EM from it after a crash")
     p.add_argument("--precision", default=None,
                    choices=("scoped", "scoped_high", "default", "high", "highest"),
-                   help="matmul precision. Default 'scoped': exact-f32 INR "
-                        "einsums in the coding-phase finetunes only — the "
-                        "measured RD-parity point at a fraction of global-"
-                        "'highest' wall (docs/HEAD_TO_HEAD.md). 'default' = "
-                        "TPU bf16 passes everywhere (~0.35 dB below parity); "
-                        "'high'/'highest' = process-global.")
+                   help="matmul precision. The default is already the measured "
+                        "RD-parity point: TPU-native bf16-pass optimization with "
+                        "unconditional exact-f32 A* scoring + decode "
+                        "(docs/HEAD_TO_HEAD.md round 3). 'scoped'/'scoped_high' "
+                        "additionally run the coding-phase finetune einsums at "
+                        "exact-f32/3-pass (measured RD-neutral, +15-31%% epoch "
+                        "cost); 'high'/'highest' = process-global.")
     return p.parse_args(argv)
 
 
@@ -189,6 +195,7 @@ def main(argv=None):
                 checkpoint_fn=(_ckpt if ts_path is not None else None),
                 state=state0, priors=priors0, kl_beta=kl_beta0,
                 rate_control=args.rate_control,
+                checkpoint_every=args.em_chunk,
             )
             art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
                                        codebook_seed=args.seed)

@@ -549,11 +549,21 @@ def encode_step_level(ls: LevelState, meta: LevelMeta) -> LevelState:
     alpha = jnp.where(valid, alpha, 0.0)
     beta = jnp.where(valid, beta, 0.0)
 
+    # SCORING RUNS IN EXACT f32 (6-pass), unconditionally: the argmax races
+    # 2^16 candidates whose top scores differ by tiny margins (truncated-
+    # Gumbel chain), and |eps^2| reaches 1e4 — single-bf16-pass products
+    # (~2^-9 relative) mis-pick samples often enough to cost ~0.4 dB over a
+    # 125-group encode (round-3 isolation, docs/HEAD_TO_HEAD.md: finetune
+    # precision alone did NOT close the gap; the torch reference scores in
+    # exact f32, test_model.py:501-533). Two (2^16, Gmax) matmuls per group
+    # step make this ~free against the interleaved finetunes.
     scores = (
         jnp.einsum("nj,rj->nr", meta.eps * meta.eps, alpha,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         + jnp.einsum("nj,rj->nr", meta.eps, beta,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         + meta.gumbel[:, None]
     )
     idx = jnp.argmax(scores, axis=0).astype(jnp.int32)  # (R,)

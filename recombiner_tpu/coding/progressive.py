@@ -93,7 +93,7 @@ def compress(
     resume_key=None,
     chunk_epochs: int = 1000,
     sync_every: int = 1,
-    coding_precision: Optional[str] = "highest",
+    coding_precision: Optional[str] = None,
 ) -> EncodeResult:
     """Full encode: posterior optimization + progressive coding of all levels.
 
@@ -106,14 +106,16 @@ def compress(
     into every snapshot header (callers put the prior fingerprint there).
 
     ``coding_precision`` sets the matmul precision of the CODING-PHASE
-    finetunes only (phase-1 optimization always runs at the ambient
-    default). Finetuning against frozen f32 codebook samples is the one
-    precision-sensitive regime — the TPU bf16-pass default costs ~0.35 dB
-    there and nowhere else (docs/HEAD_TO_HEAD.md) — so 'highest' (the
-    default) buys full RD parity with the f32 reference for a fraction of
-    the global-'highest' wall. Pass None to run everything at the ambient
-    default (the pre-round-3 behavior). Bitstream format and decode are
-    precision-independent either way."""
+    finetune einsums only (phase-1 optimization always runs at the ambient
+    default). The round-3 precision ladder (docs/HEAD_TO_HEAD.md) located
+    the reference's full ~0.35 dB RD edge in the two surfaces that now run
+    exact f32 UNCONDITIONALLY — A* candidate scoring
+    (encoder.encode_step_level) and decode rendering (encoder.decode) —
+    and measured finetune precision itself RD-neutral once those are
+    exact, so None (the default) is already the RD-parity operating point
+    at ~1.0x encode wall. 'highest'/'high' additionally raise the finetune
+    einsums (+15-31% epoch cost, docs/PERF.md) as a belt-and-braces knob.
+    Bitstream format is precision-independent either way."""
     timings = {}
     t0 = time.perf_counter()
 

@@ -458,10 +458,15 @@ def em_train(
         if rate_control:
             if not in_window:
                 in_window = bool(kl_bits[-1] <= base_max * aim * 1.05)
+            # stop ADAPTING over the last 10% of the schedule: the greedy
+            # packing quantizes the achievable rate (one 16-bit w-group can
+            # exceed the tolerance at low rates), so late aim moves would
+            # jitter beta without converging further — hold the window and
+            # let the KL settle at the best-found operating point
             if in_window and done < n_em_iters:
                 realized = realized_bitrate(state, priors, cfg)
                 err = realized / max_bitrate
-                if abs(err - 1.0) > rate_tolerance:
+                if abs(err - 1.0) > rate_tolerance and done < 0.9 * n_em_iters:
                     aim = float(np.clip(aim * (1.0 / err) ** 0.5, 0.5, 1.1))
                 history[-1]["realized_bitrate"] = realized
                 history[-1]["budget_aim"] = aim

@@ -48,9 +48,17 @@ def apply_matmul_precision(precision: str | None) -> None:
         jax.config.update("jax_default_matmul_precision", precision)
 
 
-#: CLI choices for --precision. 'scoped' (the default) = ambient default
-#: everywhere EXCEPT the coding-phase finetunes, which run their INR einsums
-#: at exact f32 — the measured RD-parity operating point (docs/HEAD_TO_HEAD.md).
+#: CLI choices for --precision. The DEFAULT (None/'default') is already the
+#: measured RD-parity operating point: optimization/finetune matmuls at the
+#: TPU-native bf16-pass rate, while the two precision-sensitive surfaces —
+#: A* candidate scoring (coding/encoder.py::encode_step_level) and decode
+#: rendering (encoder.decode) — run exact f32 unconditionally. The round-3
+#: precision ladder (docs/HEAD_TO_HEAD.md) measured that with those two
+#: exact, finetune precision is RD-neutral (42.25 dB default-finetunes vs
+#: 42.13/42.29 highest/high-finetunes vs 42.27 global-f32, same seed), so
+#: the parity point costs ~1.0x default encode wall. 'scoped'/'scoped_high'
+#: additionally raise the coding-phase finetune einsums (the round-3 ladder
+#: knobs); 'high'/'highest' raise everything process-globally.
 PRECISION_CHOICES = ("scoped", "scoped_high", "default", "high", "highest")
 
 
@@ -58,17 +66,18 @@ def apply_precision_mode(precision: str | None) -> str | None:
     """Apply a --precision flag; returns the coding-phase precision to pass
     to ``compress(coding_precision=...)``.
 
-    - None / 'scoped': no global change; coding finetunes at 'highest'.
+    - None / 'default': nothing raised — the shipped RD-parity default
+      (exact-f32 A* scoring + decode are unconditional, see PRECISION_CHOICES).
+    - 'scoped': no global change; coding finetunes at 'highest' (6-pass).
     - 'scoped_high': no global change; coding finetunes at 'high' (3-pass).
-    - 'default': everything at the ambient default (pre-round-3 behavior).
     - 'high' / 'highest': process-global default_matmul_precision (the
       round-2 knob); coding_precision=None inherits it.
     """
-    if precision in (None, "scoped"):
+    if precision in (None, "default"):
+        return None
+    if precision == "scoped":
         return "highest"
     if precision == "scoped_high":
         return "high"
-    if precision == "default":
-        return None
     apply_matmul_precision(precision)
     return None

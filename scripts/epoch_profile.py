@@ -163,6 +163,27 @@ def main() -> None:
 
     timed("fwd_bwd_lpe", lpe_scan, lpe_loc, jax.random.key(8))
 
+    # bf16-input conv stack (VERDICT r3 #5: the GPU baseline grants the
+    # reference TF32 convs; cfg.compute_dtype="bfloat16" is our equivalent
+    # lever — decode-affecting, so it must be measured before it can ship)
+    import dataclasses
+
+    cfg_bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+
+    @jax.jit
+    def lpe_scan_bf16(ll, key):
+        def body(acc, k):
+            eps = jax.random.normal(k, (R, S, *ll.shape[1:]))
+            lpe = ll[:, None] + lpe_scale[:, None] * eps
+            def f(a):
+                return lpe_to_pe(codec.up, a, cfg_bf16).mean()
+            v, g = jax.value_and_grad(f)(lpe)
+            return acc + v + g.mean(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, N))
+        return acc
+
+    timed("fwd_bwd_lpe_bf16", lpe_scan_bf16, lpe_loc, jax.random.key(8))
+
     @jax.jit
     def sample_scan(q, key):
         def body(acc, k):

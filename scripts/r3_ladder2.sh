@@ -11,7 +11,7 @@ run_h2h () {
   mode=$1; seed=$2; out=$3
   if [ -s "$out" ]; then echo "skip $out" >> /tmp/r3_ladder2.log; return; fi
   echo "=== h2h $mode seed $seed ===" >> /tmp/r3_ladder2.log
-  python scripts/babysit.py --log /tmp/h2h2_${mode}_s${seed}.log --stall 900 -- \
+  python scripts/babysit.py --log /tmp/h2h2_${mode}_s${seed}.log --stall 1500 -- \
     python scripts/head_to_head.py --side ours --n_images 8 --enc_seed ${seed} \
       --codebook sobol --precision ${mode} --out ${out} \
       --state /tmp/h2h2_state_${mode}_${seed} >> /tmp/r3_ladder2.log 2>&1

@@ -361,6 +361,63 @@ def test_apply_matmul_precision_plumbing():
         jax.config.update("jax_default_matmul_precision", prev)
 
 
+def test_apply_precision_mode_mapping():
+    """The SHIPPED DEFAULT (None/'default') must raise nothing: the RD-parity
+    surfaces — A* scoring (encode_step_level) and decode rendering — are
+    exact f32 unconditionally, and the round-3 ladder measured finetune
+    precision RD-neutral once they are (docs/HEAD_TO_HEAD.md round 3). The
+    opt-in modes scope or globalize extra matmul passes."""
+    from recombiner_tpu.utils.platform import apply_precision_mode
+
+    prev = jax.config.jax_default_matmul_precision
+    try:
+        assert apply_precision_mode(None) is None
+        assert apply_precision_mode("default") is None
+        assert jax.config.jax_default_matmul_precision == prev  # no global change
+        assert apply_precision_mode("scoped") == "highest"
+        assert apply_precision_mode("scoped_high") == "high"
+        assert jax.config.jax_default_matmul_precision == prev  # still scoped
+        assert apply_precision_mode("highest") is None  # global knob instead
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
+def test_encode_scoring_precision_is_unconditionally_exact():
+    """encode_step_level's candidate-scoring einsums must stay
+    Precision.HIGHEST regardless of any flag: a single-bf16-pass product
+    (~2^-9 relative) mis-picks argmax winners among 2^16 candidates often
+    enough to cost ~0.4 dB over a 125-group encode (round-3 ladder). Guarded
+    structurally — the scoring dots in the jaxpr carry HIGHEST — so a
+    refactor can't silently drop the precision argument."""
+    import jax.numpy as jnp
+
+    from recombiner_tpu.coding import encoder as enc
+
+    eps = jnp.zeros((16, 4), jnp.float32)
+    alpha = jnp.zeros((3, 4), jnp.float32)
+
+    def scoring(e, a):
+        return (
+            jnp.einsum("nj,rj->nr", e * e, a,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+            + jnp.einsum("nj,rj->nr", e, a,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        )
+
+    # the source of truth: encode_step_level contains exactly these einsums
+    import inspect
+
+    src = inspect.getsource(enc.encode_step_level)
+    assert src.count("jax.lax.Precision.HIGHEST") >= 2, (
+        "encode_step_level lost its unconditional exact-f32 scoring einsums"
+    )
+    jaxpr = str(jax.make_jaxpr(scoring)(eps, alpha))
+    assert "HIGHEST" in jaxpr
+
+
 def test_coding_loop_resume_bit_identical(artifact, tmp_path):
     """Kill-and-restart MID-CODING: the group-loop snapshot now persists the
     RNG key (ADVICE r2), so a resumed encode replays the remaining groups'
