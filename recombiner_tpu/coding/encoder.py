@@ -48,7 +48,7 @@ from recombiner_tpu.coding.codebook import make_codebook
 from recombiner_tpu.coding.gumbel import gumbel_chain
 from recombiner_tpu.io.checkpoint import LevelArtifact, PriorArtifact
 from recombiner_tpu.models.gaussian import Gaussian, kl_gaussian, scale_transform
-from recombiner_tpu.models.inr import inr_forward
+from recombiner_tpu.models.inr import inr_forward, resolve_precision
 from recombiner_tpu.models.mappings import lpe_to_pe, sample_hierarchical_latents
 
 
@@ -307,7 +307,11 @@ def predict(
     lpe_scale = scale[:, n_inr:].reshape(R, *cfg.lpe_spatial, cfg.latent_dim)
     lpe_eps = jax.random.normal(k_lpe, (R, S, *lpe_loc.shape[1:]))
     lpe = lpe_loc[:, None] + lpe_scale[:, None] * lpe_eps
-    pe = lpe_to_pe(codec.up, lpe, cfg)
+    # precision covers the stitch-conv stack too: on the patch path the
+    # decode/optimize graph runs THROUGH these convs, and torch computes
+    # them in exact f32 by construction
+    pe = lpe_to_pe(codec.up, lpe, cfg,
+                   precision=resolve_precision(precision))
     x = jnp.concatenate(
         [jnp.broadcast_to(X[:, None], (*pe.shape[:3], X.shape[-1])), pe], -1
     )

@@ -20,7 +20,7 @@ import numpy as np
 from recombiner_tpu.config import ModalityConfig
 
 
-def _upsample(x: jax.Array, cfg: ModalityConfig, params) -> jax.Array:
+def _upsample(x: jax.Array, cfg: ModalityConfig, params, precision=None) -> jax.Array:
     # default path: phase-decomposed upsample+conv (exact rewrite that never
     # materializes the nearest-upsampled grids; measured 26.8 vs 27.7 ms/epoch
     # on the CIFAR encode workload). models/upsample.py stays the reference
@@ -29,7 +29,7 @@ def _upsample(x: jax.Array, cfg: ModalityConfig, params) -> jax.Array:
 
     return apply_upsample_phased(
         params, x, cfg.data_dim, cfg.layerwise_scale_factors, cfg.paddings,
-        compute_dtype=cfg.compute_dtype,
+        compute_dtype=cfg.compute_dtype, precision=precision,
     )
 
 
@@ -37,6 +37,7 @@ def lpe_to_pe(
     upsample_params,
     lpe: jax.Array,
     cfg: ModalityConfig,
+    precision=None,
 ) -> jax.Array:
     """Upsample latent positional encodings into per-pixel PEs.
 
@@ -57,7 +58,7 @@ def lpe_to_pe(
 
     if not cfg.patch:
         x = lpe.reshape(R * S, *ls, cfg.latent_dim)
-        pe = _upsample(x, cfg, upsample_params)
+        pe = _upsample(x, cfg, upsample_params, precision=precision)
         return pe.reshape(R, S, cfg.n_pixels, cfg.upsample_out)
 
     pn = cfg.patch_nums
@@ -76,7 +77,7 @@ def lpe_to_pe(
     canvas = [pn[i] * ls[i] for i in range(d)]
     x = x.reshape(n_data * S, *canvas, cfg.latent_dim)
 
-    pe = _upsample(x, cfg, upsample_params)  # (n_data*S, *(pn*ps), out)
+    pe = _upsample(x, cfg, upsample_params, precision=precision)  # (n_data*S, *(pn*ps), out)
 
     ps = cfg.pixel_sizes
     # re-split into patches

@@ -78,12 +78,14 @@ def apply_upsample(
     layerwise_scale_factors: Sequence[ScaleFactor],
     paddings: Sequence[int],
     compute_dtype=jnp.float32,
+    precision=None,
 ) -> jax.Array:
     """Map latent PEs (N, *lpe_spatial, latent_dim) -> (N, *pixel_sizes, out).
 
     Equivalent computation to prior_model.py:47-59 in channel-last layout.
     ``compute_dtype=bfloat16`` feeds the convs bf16 inputs (f32 accumulate) —
-    halves HBM traffic of the dominant conv stack.
+    halves HBM traffic of the dominant conv stack. ``precision`` sets the
+    conv matmul precision (None = ambient default).
     """
     dn = _conv_dim_numbers(data_dim)
     cd = jnp.dtype(compute_dtype)
@@ -98,6 +100,7 @@ def apply_upsample(
             window_strides=(1,) * data_dim,
             padding=[(p, p)] * data_dim,
             dimension_numbers=dn,
+            precision=precision,
         ).astype(jnp.float32)
         x = x + params[f"conv{i}"]["b"]
         if i != 2:

@@ -80,6 +80,7 @@ def _phased_layer(
     factors: Tuple[int, ...],
     p: int,
     data_dim: int,
+    precision=None,
 ) -> jax.Array:
     """x (N, *S, cin) -> nearest-upsample(factors) + conv(k, pad p) + bias,
     computed as a phase conv on the source grid."""
@@ -105,6 +106,7 @@ def _phased_layer(
         padding=list(pads),
         dimension_numbers=dn,
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (N, *S, f^d * cout)
 
     # depth-to-space: (N, *S, f^d*cout) -> (N, *(S*f), cout)
@@ -127,14 +129,20 @@ def apply_upsample_phased(
     layerwise_scale_factors: Sequence[ScaleFactor],
     paddings: Sequence[int],
     compute_dtype=jnp.float32,  # accepted for interface parity; f32 only
+    precision=None,
 ) -> jax.Array:
-    """Drop-in replacement for models.upsample.apply_upsample."""
+    """Drop-in replacement for models.upsample.apply_upsample.
+
+    ``precision`` sets the conv matmul precision (None = ambient default;
+    jax.lax.Precision.HIGHEST = exact f32 passes — the torch reference's
+    convs are exact f32 by construction)."""
     for i in range(3):
         f = layerwise_scale_factors[i]
         factors = (f,) * data_dim if isinstance(f, int) else tuple(f)
         x = _phased_layer(
             x, params[f"conv{i}"]["w"], params[f"conv{i}"]["b"],
             _KERNELS[i], factors, int(paddings[i]), data_dim,
+            precision=precision,
         )
         if i != 2:
             x = jax.nn.leaky_relu(x, negative_slope=0.01)

@@ -1,9 +1,13 @@
 #!/bin/bash
-# Round-3 stage 7: classify the kodak_mini patch-path gap (ours default
-# 46.62 vs torch 47.07 dB, single seed each). Seeds 8/9 at the shipping
-# default bound run-to-run noise; 'scoped' (finetune einsums at exact f32)
-# tests whether the patch path — unlike cifar — is finetune-precision
-# sensitive at full schedule.
+# Round-3 stage 7: precision ablations after the 4-seed shipping-default
+# cifar band (42.225 +- 0.015) landed 0.12 dB below torch while global-f32
+# was 42.33 +- 0.10 — and the kodak_mini patch path showed a 0.45 dB gap
+# (phase-1 -0.36, w-coding -0.50, h-level recovers). Questions:
+#   1. kodak_mini at global 'highest': is the patch gap precision?
+#   2. cifar at 'scoped' NOW THAT scoped covers the stitch/PE convs too
+#      (encoder.predict threads precision into lpe_to_pe): does exact-f32
+#      finetuning recover the last ~0.1 dB at ~1.15x wall?
+#   3. kodak_mini default seeds 8/9: noise bound on the patch gap.
 set -u
 cd /root/repo
 
@@ -11,7 +15,7 @@ run_km () {
   seed=$1; mode=$2; out=docs/head_to_head/ours_kodak_mini_s${seed}_${mode}.json
   if [ -s "$out" ]; then echo "skip $out" >> /tmp/r3_stage7.log; return; fi
   echo "=== stage 7: kodak_mini seed ${seed} ${mode} ===" >> /tmp/r3_stage7.log
-  python scripts/babysit.py --log /tmp/ours_km_s${seed}_${mode}.log --stall 1500 -- \
+  python scripts/babysit.py --log /tmp/ours_km_s${seed}_${mode}.log --stall 1800 -- \
     python scripts/head_to_head.py --side ours --geometry kodak_mini \
       --n_images 1 --enc_seed ${seed} --precision ${mode} \
       --state /tmp/h2h_km_s${seed}_${mode} \
@@ -20,9 +24,27 @@ run_km () {
   sleep 20
 }
 
-run_km 8 default
+run_cf () {
+  seed=$1; mode=$2; out=docs/head_to_head/ours_s${seed}_sobol_${mode}_conv.json
+  if [ -s "$out" ]; then echo "skip $out" >> /tmp/r3_stage7.log; return; fi
+  echo "=== stage 7: cifar seed ${seed} ${mode}+conv ===" >> /tmp/r3_stage7.log
+  python scripts/babysit.py --log /tmp/h2h_${mode}conv_s${seed}.log --stall 1800 -- \
+    python scripts/head_to_head.py --side ours --n_images 8 --enc_seed ${seed} \
+      --codebook sobol --precision ${mode} \
+      --state /tmp/h2h_state_${mode}conv_${seed} \
+      --out ${out} >> /tmp/r3_stage7.log 2>&1
+  echo "=== cifar s${seed} ${mode}+conv rc=$? ===" >> /tmp/r3_stage7.log
+  sleep 20
+}
+
+run_km 7 highest     # patch gap: precision or structural?
+run_cf 8 scoped      # finetunes fully exact (INR einsums + convs)
+run_cf 9 scoped
+run_cf 10 scoped
+run_cf 7 scoped
+run_km 8 default     # patch noise bound
 run_km 9 default
-run_km 7 scoped
+run_km 7 scoped      # patch finetune-only precision
 echo "=== STAGE 7 COMPLETE ===" >> /tmp/r3_stage7.log
 
 # stage 8: resume the audio retrain with the remaining round time
