@@ -54,6 +54,14 @@ def parse_args(argv=None):
                         "enabled when the stored-activation estimate exceeds 8 GB/device "
                         "(an HBM OOM here crashes the TPU worker, it does not raise). "
                         "--no-remat forces it off.")
+    p.add_argument("--finetune_crn", action=argparse.BooleanOptionalAction, default=None,
+                   help="reuse one noise key for every coding-phase finetune "
+                        "(the reference's train(random_seed=epoch) common-"
+                        "random-numbers semantics, test_model.py:621-623). "
+                        "Default auto: ON for patch/hierarchical configs "
+                        "(+0.15/+0.30 dB on the kodak_mini head-to-head), OFF "
+                        "otherwise (fresh draws measured ~0.1 dB better on "
+                        "non-patch cifar; docs/HEAD_TO_HEAD.md round 3)")
     p.add_argument("--precision", default=None,
                    choices=("scoped", "scoped_high", "default", "high", "highest"),
                    help="matmul precision. The default is already the measured "
@@ -158,6 +166,7 @@ def main(argv=None):
         remat=args.remat,
         state_extra={"prior_fingerprint": fingerprint},
         coding_precision=coding_precision,
+        finetune_crn=args.finetune_crn,
         **resume,
     )
 

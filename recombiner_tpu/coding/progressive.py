@@ -94,6 +94,7 @@ def compress(
     chunk_epochs: int = 1000,
     sync_every: int = 1,
     coding_precision: Optional[str] = None,
+    finetune_crn: Optional[bool] = None,
 ) -> EncodeResult:
     """Full encode: posterior optimization + progressive coding of all levels.
 
@@ -239,6 +240,14 @@ def compress(
     # group step.
 
     # coarse-to-fine: hh -> h -> w (test_model.py:701-848)
+    # crn_key is derived WITHOUT consuming the main chain (fold_in), so
+    # finetune_crn toggling does not shift phase-1 or A* coding streams.
+    # Default AUTO = on for patch configs: CRN measured +0.15/+0.30 dB on the
+    # kodak_mini hierarchy but -0.05/-0.13 on non-patch cifar, where fresh
+    # per-finetune draws act as extra MC samples (docs/HEAD_TO_HEAD.md r3)
+    if finetune_crn is None:
+        finetune_crn = bool(cfg.patch)
+    crn_key = jax.random.fold_in(key, 0x0C12)
     order = ("hh", "h", "w") if cfg.patch else ("w",)
     for level in order:
         meta = codec.meta(level)
@@ -249,7 +258,17 @@ def compress(
         for step_i in range(already, meta.n_groups):
             state = encode_step(codec, state, level)
             if n_ft > 0:
-                key, sub = jax.random.split(key)
+                if finetune_crn:
+                    # common random numbers: EVERY finetune (all levels, all
+                    # group steps) reuses one fixed key, so per-epoch noise
+                    # draws repeat across finetunes — exactly the reference's
+                    # train(random_seed=epoch) semantics (test_model.py:
+                    # 621-623: epoch indexes the torch seed, restarting at 0
+                    # each finetune). Variance reduction that compounds over
+                    # ~180 group steps on the patch path.
+                    sub = crn_key
+                else:
+                    key, sub = jax.random.split(key)
                 # beta annealing CONTINUES during finetune (every
                 # kl_adjust_gap epochs, like the reference's
                 # update_annealing_factors call inside train,

@@ -56,7 +56,8 @@ def load_shared(n_images: int, geometry: str = "cifar"):
 
 def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
              seed: int = 7, codebook: str | None = None,
-             coding_precision: str | None = None) -> dict:
+             coding_precision: str | None = None,
+             finetune_crn: bool | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -99,6 +100,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         n_optimize_epochs=N_OPT, sample_size=5, verbose=True,
         state_path=state_path, state_extra={"prior_fingerprint": fingerprint},
         coding_precision=coding_precision,
+        finetune_crn=finetune_crn,
         **resume,
     )
     wall = time.perf_counter() - t0
@@ -114,7 +116,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
     return rec
 
 
-def run_torch(art, X, Y, out_path: str) -> dict:
+def run_torch(art, X, Y, out_path: str, seed: int = 42) -> dict:
     """The reference's own TestBNNmodel end to end, geometry taken from the
     artifact config — wires BOTH the nonpatch branch (main_compression.py:
     37-145) and the 3-level patch branch (h/hh priors reordered by their own
@@ -176,7 +178,7 @@ def run_torch(art, X, Y, out_path: str) -> dict:
         param_to_group=param2group, group_to_param=group2param,
         n_groups=n_groups, group_start_index=group_start,
         group_end_index=group_end, group_idx=group_idx,
-        w0=30., c=6., random_seed=42, device="cpu",
+        w0=30., c=6., random_seed=seed, device="cpu",
         kl_upper_buffer=0., kl_lower_buffer=0.4, kl_adjust_gap=10,
         initial_beta=kl_beta, beta_step_size=0.05,
     )
@@ -240,6 +242,12 @@ def main() -> None:
                    help="ours side: encode RNG seed (seed-variance studies)")
     p.add_argument("--codebook", default=None, choices=(None, "threefry", "sobol"),
                    help="ours side: override the artifact's codebook kind")
+    p.add_argument("--finetune_crn", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="ours side: reuse one noise key for every coding-phase "
+                        "finetune (the reference's train(random_seed=epoch) "
+                        "common-random-numbers semantics). Default None = the "
+                        "library auto (ON for patch configs)")
     p.add_argument("--precision", default="default",
                    choices=("scoped", "scoped_high", "default", "high", "highest"),
                    help="ours side: matmul precision mode. 'scoped'[_high] = "
@@ -272,9 +280,10 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     art, X, Y = load_shared(args.n_images, args.geometry)
-    rec = run_torch(art, X, Y, args.out) if args.side == "torch" else run_ours(
+    rec = run_torch(art, X, Y, args.out, seed=args.enc_seed) if args.side == "torch" else run_ours(
         art, X, Y, args.out, state_path=args.state,
         seed=args.enc_seed, codebook=args.codebook,
+        finetune_crn=args.finetune_crn,
         coding_precision=coding_precision,
     )
     rec["geometry"] = args.geometry

@@ -453,3 +453,35 @@ def test_precision_plumbing_bit_identical_on_cpu(tiny_artifact):
             np.asarray(b.state.level(name).indices),
         )
     np.testing.assert_array_equal(a.reconstruction, b.reconstruction)
+
+
+def test_finetune_crn_deterministic_and_distinct(tiny_artifact):
+    """finetune_crn reuses ONE noise key for every coding-phase finetune —
+    the reference's train(random_seed=epoch) common-random-numbers semantics
+    (test_model.py:621-623), measured +0.30 dB on the kodak_mini patch
+    head-to-head (docs/HEAD_TO_HEAD.md round 3). Pins: (a) CRN encodes are
+    deterministic, (b) CRN actually changes the finetune streams vs fresh
+    keys, (c) phase-1 and A* coding streams are NOT shifted by the toggle
+    (crn_key is fold_in-derived, the main chain is not consumed)."""
+    from recombiner_tpu.coding.progressive import compress
+
+    cfg, art, X, Y = tiny_artifact
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def run(crn, n_ft=2):
+        codec, state = init_codec(art, n_rows=2)
+        return compress(
+            codec, state, Xj, Yj, cfg, jax.random.key(3),
+            n_optimize_epochs=4, lr=2e-3, sample_size=2,
+            finetune_overrides={"w": n_ft}, chunk_epochs=4,
+            finetune_crn=crn,
+        )
+
+    a1, a2, b = run(True), run(True), run(False)
+    np.testing.assert_array_equal(a1.reconstruction, a2.reconstruction)
+    assert np.any(np.asarray(a1.state.w.q.loc) != np.asarray(b.state.w.q.loc))
+    # (c): with zero finetune epochs the toggle is a no-op end to end
+    c1, c2 = run(True, n_ft=0), run(False, n_ft=0)
+    np.testing.assert_array_equal(
+        np.asarray(c1.state.w.indices), np.asarray(c2.state.w.indices))
+    np.testing.assert_array_equal(c1.reconstruction, c2.reconstruction)
