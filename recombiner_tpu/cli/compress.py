@@ -94,7 +94,7 @@ def main(argv=None):
     X, Y = load_test_set(args.test_dir, args.test_idx, cfg)
     n_rows = X.shape[0]
     codec, state = init_codec(art, n_rows)
-    from recombiner_tpu.io.checkpoint import prior_fingerprint
+    from recombiner_tpu.io.checkpoint import accepted_fingerprints, prior_fingerprint
 
     fingerprint = prior_fingerprint(art)
     resume = {}
@@ -106,7 +106,8 @@ def main(argv=None):
 
         try:
             loaded, reason = load_snapshot_or_none(
-                args.state_path, lambda p: load_encode_state_full(p, fingerprint)
+                args.state_path,
+                lambda p: load_encode_state_full(p, accepted_fingerprints(art)),
             )
         except FingerprintMismatch as e:
             # snapshot from a different prior: refusing beats silently wrong

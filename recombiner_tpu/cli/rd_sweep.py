@@ -72,11 +72,12 @@ def parse_args(argv=None):
     p.add_argument("--skip_encode", action="store_true",
                    help="train + save the prior per bitrate and stop (no encode); "
                         "pair with --save_prior_dir")
-    p.add_argument("--em_chunk", type=int, default=10,
+    p.add_argument("--em_chunk", type=int, default=None,
                    help="EM iterations per compiled program (trainer checkpoint_every). "
                         "1 = one program per EM iteration — the conservative mode that "
                         "sidesteps a tunnel-side worker fault observed on long nested-scan "
-                        "programs for the audio geometry (docs/rd_full_audio_r3.log)")
+                        "programs for the audio geometry (docs/rd_full_audio_r3.log). "
+                        "Default auto: 1 for audio, 10 otherwise")
     p.add_argument("--rate_control", action=argparse.BooleanOptionalAction, default=True,
                    help="closed-loop budget aim-off: steer the EM KL window so the "
                         "REALIZED post-grouping bitrate lands within ~1.5%% of the "
@@ -115,6 +116,12 @@ def main(argv=None):
     coding_precision = apply_precision_mode(args.precision)
     maybe_initialize_distributed()  # no-op unless RECOMBINER_TPU_MULTIHOST=1
     cfg = get_config(args.dataset)
+    if args.em_chunk is None:
+        # audio's long nested-scan em_iters program faulted the tunnel-side
+        # TPU worker (docs/rd_full_audio_r3.log) — auto-default the
+        # conservative one-program-per-iteration mode there, like the
+        # remat/finetune_crn per-config auto-defaults
+        args.em_chunk = 1 if cfg.name == "audio" else 10
 
     if args.synthetic:
         Xtr, Ytr = synthetic_dataset(cfg, args.synthetic, seed=args.seed,
@@ -215,10 +222,22 @@ def main(argv=None):
                 os.makedirs(args.save_prior_dir, exist_ok=True)
                 save_prior_artifact(f"{args.save_prior_dir}/{prior_name}", art)
         if args.skip_encode:
-            print(f"(--skip_encode) prior saved for bitrate {max_bitrate}", flush=True)
+            if args.load_prior_dir is not None:
+                print(f"(--skip_encode) prior loaded for bitrate {max_bitrate}; "
+                      "nothing to do", flush=True)
+            elif args.save_prior_dir is not None:
+                print(f"(--skip_encode) prior saved for bitrate {max_bitrate}",
+                      flush=True)
+            else:
+                print(f"(--skip_encode) WARNING: trained prior for bitrate "
+                      f"{max_bitrate} DISCARDED — pass --save_prior_dir to keep it",
+                      flush=True)
             continue
         codec, state = init_codec(art, n_rows=Xte.shape[0])
-        from recombiner_tpu.io.checkpoint import prior_fingerprint
+        from recombiner_tpu.io.checkpoint import (
+            accepted_fingerprints,
+            prior_fingerprint,
+        )
 
         fingerprint = prior_fingerprint(art)
         state_path = None
@@ -237,7 +256,8 @@ def main(argv=None):
 
             try:
                 loaded, reason = load_snapshot_or_none(
-                    state_path, lambda p: load_encode_state_full(p, fingerprint)
+                    state_path,
+                    lambda p: load_encode_state_full(p, accepted_fingerprints(art)),
                 )
             except FingerprintMismatch as e:
                 # different prior than the snapshot's: its frozen samples

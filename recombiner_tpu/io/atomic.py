@@ -75,9 +75,32 @@ def load_snapshot_or_none(
         # of work.
         if isinstance(e, SnapshotRejected):
             raise
+        if type(e) is ValueError and _npz_intact(final):
+            # bare ValueError from a loader over a STRUCTURALLY SOUND npz is
+            # a code/geometry bug, not a torn file — quarantining it would
+            # destroy the evidence and silently restart hours of work
+            raise
         quarantine = final + ".corrupt"
         try:
             os.replace(final, quarantine)
         except OSError:
             pass
         return None, f"snapshot {final} unreadable ({e!r}); moved to {quarantine}"
+
+
+def _npz_intact(final: str) -> bool:
+    """True when the npz's zip structure AND every member's deflate stream +
+    npy payload read back cleanly — i.e. a loader error over this file is
+    the loader's fault, not torn-file corruption."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(final) as zf:
+            if zf.testzip() is not None:
+                return False
+        with np.load(final, allow_pickle=False) as z:
+            for k in z.files:
+                z[k]
+        return True
+    except Exception:
+        return False

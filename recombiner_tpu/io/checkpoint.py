@@ -81,14 +81,18 @@ def _unpack_level(prefix: str, z) -> LevelArtifact:
     )
 
 
-def prior_fingerprint(art: PriorArtifact) -> str:
+def prior_fingerprint(art: PriorArtifact, *, _legacy: bool = False) -> str:
     """Short content hash identifying a prior artifact.
 
     Stored in encode-state snapshot headers so that resuming an encode
     silently against a *different* prior (e.g. relaunch without
     --load_prior_dir retrains EM, changing codebooks/priors while the
     snapshot's frozen samples/indices were drawn under the old ones) is
-    detected instead of yielding subtly wrong bitstreams."""
+    detected instead of yielding subtly wrong bitstreams.
+
+    ``_legacy`` reproduces the pre-round-3 formula (no avg_log_scale, no
+    up-net weights) so snapshots written before the formula widened remain
+    resumable — see accepted_fingerprints."""
     import hashlib
 
     hsh = hashlib.sha256()
@@ -100,19 +104,32 @@ def prior_fingerprint(art: PriorArtifact) -> str:
         hsh.update(np.ascontiguousarray(lv.p_loc, np.float32).tobytes())
         hsh.update(np.ascontiguousarray(lv.p_scale, np.float32).tobytes())
         hsh.update(np.ascontiguousarray(lv.grouping.param2group, np.int32).tobytes())
-        # avg_log_scale seeds the test-posterior init (encoder.py) — two
-        # artifacts differing only here would encode differently
-        hsh.update(np.ascontiguousarray(lv.avg_log_scale, np.float32).tobytes())
+        if not _legacy:
+            # avg_log_scale seeds the test-posterior init (encoder.py) — two
+            # artifacts differing only here would encode differently
+            hsh.update(np.ascontiguousarray(lv.avg_log_scale, np.float32).tobytes())
     for a in art.A:
         hsh.update(np.ascontiguousarray(a, np.float32).tobytes())
-    # the upsampler is part of the decode path the frozen samples were
-    # optimized against; without it two artifacts differing only in up-net
-    # weights fingerprint identically (ADVICE r2)
-    for name in sorted(art.up):
-        hsh.update(name.encode())
-        hsh.update(np.ascontiguousarray(art.up[name]["w"], np.float32).tobytes())
-        hsh.update(np.ascontiguousarray(art.up[name]["b"], np.float32).tobytes())
+    if not _legacy:
+        # the upsampler is part of the decode path the frozen samples were
+        # optimized against; without it two artifacts differing only in up-net
+        # weights fingerprint identically (ADVICE r2)
+        for name in sorted(art.up):
+            hsh.update(name.encode())
+            hsh.update(np.ascontiguousarray(art.up[name]["w"], np.float32).tobytes())
+            hsh.update(np.ascontiguousarray(art.up[name]["b"], np.float32).tobytes())
     return hsh.hexdigest()[:16]
+
+
+def accepted_fingerprints(art: PriorArtifact) -> tuple:
+    """(current, legacy) fingerprints for `art`.
+
+    New snapshots store the current formula; resume accepts either so that
+    an encode snapshotted before the formula widened (ADVICE r2: add
+    avg_log_scale + up-net weights) resumes instead of being discarded —
+    both formulas hash the SAME artifact, the legacy one just binds fewer
+    fields of it."""
+    return (prior_fingerprint(art), prior_fingerprint(art, _legacy=True))
 
 
 def save_prior_artifact(path: str, art: PriorArtifact) -> None:

@@ -67,13 +67,15 @@ def save_encode_state(
     atomic_savez(path, arrays)
 
 
-def load_encode_state_full(path: str, expect_fingerprint: Optional[str] = None):
+def load_encode_state_full(path: str, expect_fingerprint=None):
     """-> (CodecState, header dict, opt_leaves list-or-None).
 
     ``expect_fingerprint``: the current prior artifact's
-    io.checkpoint.prior_fingerprint; a snapshot written under a different
-    prior is refused (its frozen samples/indices index the OLD codebooks —
-    resuming it would silently corrupt the bitstream)."""
+    io.checkpoint.prior_fingerprint — a str, or a collection of acceptable
+    strs (io.checkpoint.accepted_fingerprints includes the pre-round-3
+    legacy formula so old snapshots stay resumable). A snapshot written
+    under a different prior is refused (its frozen samples/indices index
+    the OLD codebooks — resuming it would silently corrupt the bitstream)."""
     z = np.load(path if str(path).endswith(".npz") else path + ".npz")
     header = json.loads(bytes(z["__header__"]).decode())
     if header["version"] > STATE_VERSION:
@@ -81,10 +83,15 @@ def load_encode_state_full(path: str, expect_fingerprint: Optional[str] = None):
             f"encode state version {header['version']} unsupported"
         )
     snap_fp = header.get("prior_fingerprint")
-    if expect_fingerprint is not None and snap_fp is not None and snap_fp != expect_fingerprint:
+    accepted = (
+        (expect_fingerprint,)
+        if isinstance(expect_fingerprint, str)
+        else expect_fingerprint
+    )
+    if accepted is not None and snap_fp is not None and snap_fp not in accepted:
         raise FingerprintMismatch(
             f"encode snapshot {path} was written under prior {snap_fp}, current "
-            f"prior is {expect_fingerprint}; refusing to resume (delete the "
+            f"prior is {accepted[0]}; refusing to resume (delete the "
             "snapshot or reload the matching prior)"
         )
 

@@ -404,8 +404,9 @@ def em_train(
     so uncontrolled runs overshoot the stated rate by 4-8 %% (VERDICT r2).
     The controller multiplies the window by an aim factor updated from the
     measured realized rate (realized_bitrate: true grouping + packing),
-    damped (sqrt) and clamped; it engages only once the KL has first entered
-    the window, so early-training KL transients don't slam the aim low.
+    damped (sqrt) and clamped; it engages once the KL has first entered the
+    window (so early-training KL transients don't slam the aim), with a
+    quarter-schedule backstop for settled undershoots that never reach it.
 
     checkpoint_fn(em_iter, state, priors, kl_beta) is invoked every
     ``checkpoint_every`` iterations and at the last one.
@@ -431,6 +432,7 @@ def em_train(
     history = []
     aim = 1.0
     in_window = False  # KL has reached the budget window at least once
+    seen_above = False  # KL has been observed ABOVE the window
     beta_arr = jnp.float32(kl_beta)
     done = 0
     chunk = max(int(checkpoint_every), 1)
@@ -440,7 +442,14 @@ def em_train(
         if done == 0 and first_epochs != later_epochs:
             n_iters, n_epochs = 1, first_epochs
         else:
-            n_iters, n_epochs = min(chunk, n_em_iters - done), later_epochs
+            # any odd-sized chunk runs FIRST so every later program is
+            # exactly `chunk` iters — the extra XLA compile then lands at
+            # the start of the run, not in its last minutes (where a cold
+            # tunnel-cache compile can sit dark long enough to trip the
+            # babysit stall watchdog)
+            remaining = n_em_iters - done
+            n_iters = (remaining % chunk) or min(chunk, remaining)
+            n_epochs = later_epochs
         state, priors, beta_arr, key, hist = em_iters(
             state, X, Y, priors, beta_arr, key,
             jnp.float32(base_min * aim), jnp.float32(base_max * aim),
@@ -457,7 +466,23 @@ def em_train(
 
         if rate_control:
             if not in_window:
-                in_window = bool(kl_bits[-1] <= base_max * aim * 1.05)
+                k, hi = float(kl_bits[-1]), base_max * aim * 1.05
+                lo = base_min * aim * 0.95
+                seen_above = seen_above or k > hi
+                # engage only once the KL has actually REACHED the window —
+                # from above (annealing down; `seen_above` covers a chunk
+                # that crosses the whole window between probes) or by rising
+                # into it. A run still BELOW the window must not engage
+                # during the early rising transient: err << 1 would slam aim
+                # to its cap before the operating point settles (the
+                # transient the docstring guards against)
+                in_window = bool(k <= hi and (k >= lo or seen_above))
+                if not in_window and done >= 0.25 * n_em_iters:
+                    # settled undershoot: a quarter of the schedule has
+                    # passed and the KL still hasn't reached the window — the
+                    # beta annealer alone can't close the gap, so engage and
+                    # let aim raise the window (clamped at 1.1)
+                    in_window = True
             # stop ADAPTING over the last 10% of the schedule: the greedy
             # packing quantizes the achievable rate (one 16-bit w-group can
             # exceed the tolerance at low rates), so late aim moves would

@@ -238,8 +238,10 @@ def main() -> None:
                    help="override the 30000-epoch schedule (smoke tests only)")
     p.add_argument("--state", default=None,
                    help="ours side: encode-state snapshot path (crash resume)")
-    p.add_argument("--enc_seed", type=int, default=7,
-                   help="ours side: encode RNG seed (seed-variance studies)")
+    p.add_argument("--enc_seed", type=int, default=None,
+                   help="encode RNG seed (seed-variance studies). Default: the "
+                        "side's published-baseline seed — torch 42 (every "
+                        "pre-round-3 torch record), ours 7")
     p.add_argument("--codebook", default=None, choices=(None, "threefry", "sobol"),
                    help="ours side: override the artifact's codebook kind")
     p.add_argument("--finetune_crn", action=argparse.BooleanOptionalAction,
@@ -257,15 +259,15 @@ def main() -> None:
                         "(torch-CPU is exact f32 — 'highest'/'scoped' removes "
                         "that asymmetry)")
     args = p.parse_args()
-    coding_precision = None
-    if args.precision == "scoped":
-        coding_precision = "highest"
-    elif args.precision == "scoped_high":
-        coding_precision = "high"
-    elif args.precision in ("high", "highest"):
-        import jax
+    if args.enc_seed is None:
+        # per-side baseline seeds: changing either silently forks the
+        # published records (torch_full.json etc. are all torch seed 42)
+        args.enc_seed = 42 if args.side == "torch" else 7
+    from recombiner_tpu.utils.platform import apply_precision_mode
 
-        jax.config.update("jax_default_matmul_precision", args.precision)
+    # same mapping as the shipped CLIs — the head-to-head must measure the
+    # exact operating point the flag of the same name selects there
+    coding_precision = apply_precision_mode(args.precision)
     if args.n_opt is not None:
         global N_OPT
         N_OPT = args.n_opt
@@ -287,8 +289,8 @@ def main() -> None:
         coding_precision=coding_precision,
     )
     rec["geometry"] = args.geometry
+    rec["enc_seed"] = args.enc_seed
     if args.side == "ours":
-        rec["enc_seed"] = args.enc_seed
         rec["codebook"] = args.codebook or "artifact-default"
         rec["matmul_precision"] = args.precision
     with open(args.out, "w") as f:

@@ -522,3 +522,63 @@ def test_quarantine_covers_torn_header_and_members(tmp_path):
         z.writestr("a.npy", b"\x93NUMPY\x01\x00")
     got, reason = load_snapshot_or_none(p2, loader)
     assert got is None and os.path.exists(p2 + ".npz.corrupt")
+
+
+def test_legacy_fingerprint_accepted_on_resume(artifact, tmp_path):
+    """A snapshot written under the pre-round-3 fingerprint formula (no
+    avg_log_scale / up-net weights in the hash) must resume against the SAME
+    artifact under the widened formula — the formula change is a code
+    migration, not a prior change, and discarding hours of coded groups over
+    it is the failure mode this guards (code review r3)."""
+    import dataclasses
+
+    from recombiner_tpu.io.atomic import load_snapshot_or_none
+    from recombiner_tpu.io.checkpoint import accepted_fingerprints, prior_fingerprint
+    from recombiner_tpu.io.encode_state import (
+        FingerprintMismatch,
+        load_encode_state_full,
+    )
+
+    cfg, art, X, Y = artifact
+    legacy_fp = prior_fingerprint(art, _legacy=True)
+    current_fp = prior_fingerprint(art)
+    assert legacy_fp != current_fp  # the formulas genuinely differ
+    codec, state = init_codec(art, n_rows=2)
+    p = str(tmp_path / "enc_legacy_fp")
+    # as written by a pre-migration run
+    save_encode_state(p, state, extra={"prior_fingerprint": legacy_fp})
+
+    accepted = accepted_fingerprints(art)
+    assert accepted == (current_fp, legacy_fp)
+    st, header, _ = load_encode_state_full(p, accepted)  # resumes
+    assert header["prior_fingerprint"] == legacy_fp
+
+    # a genuinely DIFFERENT prior is still refused under either formula
+    art2 = dataclasses.replace(
+        art, w=dataclasses.replace(art.w, p_loc=art.w.p_loc + 0.1)
+    )
+    with pytest.raises(FingerprintMismatch):
+        load_snapshot_or_none(
+            p, lambda q: load_encode_state_full(q, accepted_fingerprints(art2))
+        )
+    assert os.path.exists(p + ".npz")  # refused loudly, never quarantined
+
+
+def test_loader_bug_over_intact_npz_reraises(tmp_path):
+    """A bare ValueError raised by the LOADER over a structurally sound npz
+    is a code bug (geometry mismatch, pytree rebuild error) — it must
+    re-raise, not quarantine the evidence and silently restart hours of work
+    (code review r3). Only a genuinely torn file quarantines."""
+    from recombiner_tpu.io.atomic import atomic_savez, load_snapshot_or_none
+
+    p = str(tmp_path / "intact")
+    atomic_savez(p, {"a": np.arange(6)})
+
+    def buggy_loader(path):
+        np.load(path + ".npz")["a"]
+        raise ValueError("cannot reshape array of size 6 into shape (4,4)")
+
+    with pytest.raises(ValueError, match="cannot reshape"):
+        load_snapshot_or_none(p, buggy_loader)
+    assert os.path.exists(p + ".npz")  # evidence preserved
+    assert not os.path.exists(p + ".npz.corrupt")
