@@ -78,7 +78,7 @@ def main(argv=None):
 
     t0 = time.perf_counter()
 
-    def checkpoint_fn(em_iter, state, priors, kl_beta):
+    def checkpoint_fn(em_iter, state, priors, kl_beta, controller):
         if not is_primary():  # multi-host: host 0 owns the artifact
             return
         art = build_prior_artifact(state, priors, kl_beta, cfg, codebook_seed=args.seed)

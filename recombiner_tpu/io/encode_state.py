@@ -83,15 +83,20 @@ def load_encode_state_full(path: str, expect_fingerprint=None):
             f"encode state version {header['version']} unsupported"
         )
     snap_fp = header.get("prior_fingerprint")
+    # normalize ANY collection (set/generator/list) to a tuple: membership on
+    # a generator would consume it and accepted[0] on a set raises TypeError,
+    # turning the intended FingerprintMismatch into a crash (ADVICE r3)
     accepted = (
-        (expect_fingerprint,)
+        None
+        if expect_fingerprint is None
+        else (expect_fingerprint,)
         if isinstance(expect_fingerprint, str)
-        else expect_fingerprint
+        else tuple(expect_fingerprint)
     )
     if accepted is not None and snap_fp is not None and snap_fp not in accepted:
         raise FingerprintMismatch(
             f"encode snapshot {path} was written under prior {snap_fp}, current "
-            f"prior is {accepted[0]}; refusing to resume (delete the "
+            f"prior accepts {list(accepted)}; refusing to resume (delete the "
             "snapshot or reload the matching prior)"
         )
 

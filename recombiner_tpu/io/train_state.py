@@ -33,12 +33,25 @@ from recombiner_tpu.priors.trainer import (
     init_priors,
 )
 
-STATE_VERSION = 1
+STATE_VERSION = 2
 
 
 def save_train_state(
-    path: str, state: PriorState, priors: Priors, kl_beta: float, em_iter: int
+    path: str,
+    state: PriorState,
+    priors: Priors,
+    kl_beta: float,
+    em_iter: int,
+    controller: dict | None = None,
+    schedule_total: int | None = None,
 ) -> None:
+    """``controller`` is em_train's rate-controller state dict
+    (aim/in_window/seen_above) and ``schedule_total`` the FULL planned EM
+    schedule length; both persist so a babysit crash-relaunch resumes the
+    closed-loop rate control where it left off instead of resetting aim to
+    1.0 (reverting the KL window to the uncontrolled base) and re-anchoring
+    the 0.25/0.9 schedule fractions to the remaining iterations (ADVICE r3,
+    medium)."""
     arrays = {}
     for name, tree in (("state", state), ("priors", priors)):
         leaves = jax.tree_util.tree_leaves(tree)
@@ -50,14 +63,24 @@ def save_train_state(
         "em_iter": int(em_iter),
         "train_size": int(jax.tree_util.tree_leaves(state)[0].shape[0]),
     }
+    if controller is not None:
+        header["controller"] = {
+            "aim": float(controller.get("aim", 1.0)),
+            "in_window": bool(controller.get("in_window", False)),
+            "seen_above": bool(controller.get("seen_above", False)),
+        }
+    if schedule_total is not None:
+        header["schedule_total"] = int(schedule_total)
     arrays["__header__"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
     atomic_savez(path, arrays)
 
 
 def load_train_state(
     path: str, cfg: ModalityConfig
-) -> Tuple[PriorState, Priors, float, int]:
-    """Returns (state, priors, kl_beta, em_iters_done)."""
+) -> Tuple[PriorState, Priors, float, int, dict]:
+    """Returns (state, priors, kl_beta, em_iters_done, extra) with extra =
+    {"controller": dict | None, "schedule_total": int | None} (both None for
+    version-1 snapshots, which predate controller persistence)."""
     z = np.load(path if str(path).endswith(".npz") else path + ".npz")
     header = json.loads(bytes(z["__header__"]).decode())
     if header["version"] > STATE_VERSION:
@@ -83,4 +106,8 @@ def load_train_state(
         refill("priors", template_priors),
         float(header["kl_beta"]),
         int(header["em_iter"]),
+        {
+            "controller": header.get("controller"),
+            "schedule_total": header.get("schedule_total"),
+        },
     )

@@ -166,6 +166,94 @@ def test_rate_control_engages_and_clamps():
     assert recs[-1]["budget_aim"] == pytest.approx(1.1)
 
 
+def test_aim_update_settles_on_quantized_plant():
+    """The rate controller against a synthetic QUANTIZED plant (realized rate
+    = quantum * round of the continuous response, the shape greedy 16-bit
+    packing produces): the aim must settle monotonically onto the nearest
+    achievable rate and STOP — not orbit between the two rates bracketing
+    the target, which is what the round-3 audio 5.17 kbps run did
+    (4.99 <-> 5.41 kbps, docs/rd_full_audio_r3.log; VERDICT r3 weak #4)."""
+    from recombiner_tpu.priors.trainer import aim_update
+
+    # audio-5.17-like numbers: target between two achievable rates a whole
+    # quantum apart, neither within the 1.5% relative tolerance
+    target, quantum, tol = 5.17, 0.32, 0.015
+
+    def plant(aim):
+        # continuous response ~ linear in aim around the operating point,
+        # then quantized to whole groups (floor: packing rounds the KL that
+        # fits into N groups down)
+        continuous = 5.6 * aim
+        return quantum * np.floor(continuous / quantum + 0.5)
+
+    aim, trace = 1.0, []
+    for _ in range(50):
+        realized = plant(aim)
+        trace.append((aim, realized))
+        aim = aim_update(aim, realized, target, tol, quantum)
+
+    aims = np.array([t[0] for t in trace])
+    rates = np.array([t[1] for t in trace])
+    # settles: the last 30 probes hold ONE aim and ONE realized rate
+    assert np.all(aims[-30:] == aims[-1]), f"aim still moving: {aims[-35:]}"
+    assert np.all(rates[-30:] == rates[-1])
+    # and the settled rate is the achievable rate nearest the target
+    achievable = quantum * np.arange(10, 25)
+    assert rates[-1] == achievable[np.argmin(np.abs(achievable - target))]
+    # within the quantum-limited error bound (<=2% here: 5.12 vs 5.17)
+    assert abs(rates[-1] - target) <= 0.5 * quantum
+    # no limit cycle anywhere after first reaching the settled rate
+    first = int(np.argmax(rates == rates[-1]))
+    assert np.all(rates[first:] == rates[-1]), "controller re-orbited"
+
+
+def test_aim_update_holds_inside_tolerance_and_clamps():
+    from recombiner_tpu.priors.trainer import aim_update
+
+    # inside relative tolerance: hold exactly
+    assert aim_update(0.93, 2.01, 2.0, 0.015, 0.001) == 0.93
+    # inside half a quantum (coarse geometry): hold even though the relative
+    # error exceeds the tolerance
+    assert aim_update(0.93, 5.077, 5.17, 0.015, 0.32) == 0.93
+    # outside both: sqrt-damped move toward the target, clamped to [0.5, 1.1]
+    up = aim_update(1.0, 1.0, 2.0, 0.015, 0.001)
+    assert up == pytest.approx(min(1.1, np.sqrt(2.0)))
+    down = aim_update(0.5, 10.0, 2.0, 0.015, 0.001)
+    assert down == 0.5  # already at the floor
+
+
+def test_em_train_controller_resume_continuity():
+    """em_train resumed with the persisted controller dict + schedule anchors
+    must CONTINUE adapting from the stored aim (not re-engage from 1.0) —
+    the ADVICE r3 medium finding: babysit relaunches reset the KL window to
+    the uncontrolled base mid-schedule."""
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=4)
+    Xj, Yj = jnp.array(X), jnp.array(Y)
+    res1 = em_train(
+        jax.random.key(0), cfg, Xj, Yj, max_bitrate=30.0,
+        n_em_iters=4, first_epochs=10, later_epochs=5, lr=2e-3,
+        checkpoint_every=2, rate_control=True, probe_every=1,
+        schedule_total=8,
+    )
+    assert res1.controller is not None and res1.controller["in_window"]
+    assert res1.controller["aim"] > 1.0  # undershoot pushed the aim up
+
+    res2 = em_train(
+        jax.random.key(1), cfg, Xj, Yj, max_bitrate=30.0,
+        n_em_iters=4, first_epochs=5, later_epochs=5, lr=2e-3,
+        checkpoint_every=2, rate_control=True, probe_every=1,
+        state=res1.state, priors=res1.priors, kl_beta=res1.kl_beta,
+        controller=res1.controller, em_iter_offset=4, schedule_total=8,
+    )
+    recs = [h for h in res2.elbo_history if "realized_bitrate" in h]
+    assert recs, "resumed run never probed"
+    # resumed from the stored aim: every probe's aim stays at/above it
+    # (still undershooting a 30-bpp target, so it can only hold or rise)
+    for r in recs:
+        assert r["budget_aim"] >= res1.controller["aim"] - 1e-12
+
+
 def test_em_iters_matches_per_iter_loop():
     """The chunked EM program (em_iters: scan of iterations with on-device
     beta control + M-step) must reproduce the per-iteration host loop

@@ -152,10 +152,15 @@ def test_train_state_roundtrip_and_em_resume(tmp_path):
     res1 = em_train(jax.random.key(0), TINY, Xj, Yj, max_bitrate=4.0,
                     n_em_iters=2, first_epochs=6, later_epochs=3, lr=2e-3)
     p = str(tmp_path / "ts")
-    save_train_state(p, res1.state, res1.priors, res1.kl_beta, 2)
+    save_train_state(p, res1.state, res1.priors, res1.kl_beta, 2,
+                     controller=res1.controller, schedule_total=550)
 
-    state, priors, kl_beta, done = load_train_state(p, TINY)
+    state, priors, kl_beta, done, extra = load_train_state(p, TINY)
     assert done == 2 and kl_beta == res1.kl_beta
+    # rate-controller state persists across the snapshot (ADVICE r3 medium):
+    # a relaunch must resume with the adapted aim, not reset to 1.0
+    assert extra["controller"] == res1.controller
+    assert extra["schedule_total"] == 550
     for a, b in zip(jax.tree_util.tree_leaves(res1.state),
                     jax.tree_util.tree_leaves(state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
