@@ -85,6 +85,11 @@ def parse_args(argv=None):
     p.add_argument("--train_state_dir", default=None,
                    help="snapshot full EM training state here every 10 iterations "
                         "and resume mid-EM from it after a crash")
+    p.add_argument("--probe_every", type=int, default=10,
+                   help="minimum EM iterations between realized-rate probes once "
+                        "rate control engages (each probe runs the full host-side "
+                        "greedy grouping; decoupled from --em_chunk so em_chunk=1 "
+                        "doesn't pay a grouping per iteration)")
     p.add_argument("--finetune_crn", action=argparse.BooleanOptionalAction, default=None,
                    help="reuse one noise key for every coding-phase finetune "
                         "(the reference's train(random_seed=epoch) common-"
@@ -160,6 +165,7 @@ def main(argv=None):
             art = load_prior_artifact(f"{args.load_prior_dir}/{prior_name}")
         else:
             state0, priors0, kl_beta0, done = None, None, 1e-8, 0
+            controller0 = None
             ts_path = None
             if args.train_state_dir is not None:
                 import os
@@ -180,10 +186,11 @@ def main(argv=None):
                 if reason:
                     print(f"WARNING: {reason}; training from scratch", flush=True)
                 if loaded is not None:
-                    state0, priors0, kl_beta0, done = loaded
+                    state0, priors0, kl_beta0, done, extra = loaded
+                    controller0 = extra.get("controller")
                     state0 = shard_rows(state0, mesh)
-                    print(f"Resumed EM state from {ts_path} ({done} iters done)",
-                          flush=True)
+                    print(f"Resumed EM state from {ts_path} ({done} iters done, "
+                          f"controller {controller0})", flush=True)
 
             def _log(em_iter, rec, state, priors):
                 rate = (
@@ -196,10 +203,11 @@ def main(argv=None):
                     flush=True,
                 )
 
-            def _ckpt(em_iter, state, priors, kl_beta):
+            def _ckpt(em_iter, state, priors, kl_beta, controller):
                 if ts_path is not None:
                     save_train_state(ts_path, state, priors, kl_beta,
-                                     done + em_iter + 1)
+                                     done + em_iter + 1, controller=controller,
+                                     schedule_total=args.n_em_iters)
 
             res = em_train(
                 jax.random.key(args.seed + done), cfg, Xtr_s, Ytr_s,
@@ -211,6 +219,10 @@ def main(argv=None):
                 state=state0, priors=priors0, kl_beta=kl_beta0,
                 rate_control=args.rate_control,
                 checkpoint_every=args.em_chunk,
+                probe_every=args.probe_every,
+                controller=controller0,
+                em_iter_offset=done,
+                schedule_total=args.n_em_iters,
             )
             art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
                                        codebook_seed=args.seed)
@@ -273,6 +285,8 @@ def main(argv=None):
                     "phase1_opt_leaves": opt_leaves,
                     "resume_key": header.get("resume_key"),
                 }
+                if header.get("phase1_es") is not None:
+                    resume["phase1_es"] = tuple(header["phase1_es"])
                 print(f"Resumed encode state from {state_path}", flush=True)
         codec = shard_rows(codec, mesh)
         state = shard_rows(state, mesh)

@@ -27,6 +27,7 @@ from recombiner_tpu.coding.encoder import (
     encode_step,
     group_kl,
     optimize,
+    optimize_adaptive,
     predict,
 )
 from recombiner_tpu.metrics import metric
@@ -95,6 +96,10 @@ def compress(
     sync_every: int = 1,
     coding_precision: Optional[str] = None,
     finetune_crn: Optional[bool] = None,
+    phase1_stop: Optional[tuple] = None,
+    finetune_stop: Optional[tuple] = None,
+    phase1_es: Optional[tuple] = None,
+    phase1_precision: Optional[str] = None,
 ) -> EncodeResult:
     """Full encode: posterior optimization + progressive coding of all levels.
 
@@ -116,7 +121,22 @@ def compress(
     exact, so None (the default) is already the RD-parity operating point
     at ~1.0x encode wall. 'highest'/'high' additionally raise the finetune
     einsums (+15-31% epoch cost, docs/PERF.md) as a belt-and-braces knob.
-    Bitstream format is precision-independent either way."""
+    Bitstream format is precision-independent either way.
+
+    ``phase1_stop`` / ``finetune_stop``: adaptive early-stop specs
+    ``(window, rel_tol, min_epochs)`` for phase-1 optimization and the
+    per-group coding finetunes respectively (None = the reference's fixed
+    budgets). Each optimization then runs optimize_adaptive — a device-side
+    lax.while_loop that halts when the windowed mean ELBO stops improving
+    by rel_tol relative per window — and n_optimize_epochs / the finetune
+    budgets become CEILINGS rather than exact schedules. The reference
+    spends its budgets unconditionally (main_compression.py:148-158); the
+    measured trajectories (docs/SCHEDULE.md) show most of each finetune is
+    flat, which is where the matched-RD throughput headline comes from.
+    ``phase1_es`` restores the (prev_window_mean, window_sum) accumulator
+    of an interrupted adaptive phase-1 (from the snapshot header).
+    ``phase1_precision`` scopes matmul precision for phase-1 optimization
+    only (the finetunes take ``coding_precision``)."""
     timings = {}
     t0 = time.perf_counter()
 
@@ -181,8 +201,52 @@ def compress(
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
         return state, key
 
+    def optimize_chunked_adaptive(state, key, n_epochs, stop, label=None,
+                                  done=0, opt_state=None, es=None,
+                                  snapshot_path=None, precision=None):
+        """Early-stop variant of optimize_chunked: the same <=chunk_epochs
+        per-program bound (tunnel watchdog safety, above) but each chunk is
+        one optimize_adaptive while_loop, and the outer loop ends as soon as
+        the device reports the windowed plateau. The per-chunk epoch-count
+        fetch doubles as the flow-control sync. Returns
+        (state, key, epochs_done)."""
+        window, rel_tol, min_epochs = stop
+        if es is None:
+            es = (np.inf, 0.0)
+        while done < n_epochs:
+            n = min(chunk_epochs, n_epochs - done)
+            state, opt_state, key, es, i, stopped = optimize_adaptive(
+                codec, state, X, Y, key, done, done + n, min_epochs, rel_tol,
+                es, cfg=cfg, lr=lr, sample_size=sample_size, window=window,
+                remat=remat, precision=precision, opt_state=opt_state,
+            )
+            done, stopped = (int(v) for v in jax.device_get((i, stopped)))
+            if snapshot_path is not None:
+                from recombiner_tpu.io.encode_state import save_encode_state
+
+                es_host = [float(v) for v in jax.device_get(es)]
+                save_encode_state(
+                    snapshot_path, state,
+                    extra={
+                        "phase1_epochs_done": done,
+                        "resume_key": np.asarray(
+                            jax.random.key_data(key)).tolist(),
+                        "phase1_es": es_host,
+                        **(state_extra or {}),
+                    },
+                    opt_leaves=jax.tree_util.tree_leaves(opt_state),
+                )
+            if verbose and label is not None:
+                print(f"  {label} {done}/{n_epochs} epochs"
+                      f"{' (plateau stop)' if stopped else ''} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+            if stopped:
+                break
+        return state, key, done
+
     if resume_key is not None:
         key = jax.random.wrap_key_data(jnp.asarray(resume_key, jnp.uint32))
+    timings["phase1_epochs"] = 0
     if n_optimize_epochs > phase1_epochs_done and not resuming:
         opt_state0 = None
         if phase1_opt_leaves is not None:
@@ -198,11 +262,21 @@ def compress(
                 print(
                     f"Resuming phase-1 optimization at {phase1_epochs_done}/"
                     f"{n_optimize_epochs} epochs", flush=True)
-        state, key = optimize_chunked(
-            state, key, n_optimize_epochs, label="optimize",
-            done=phase1_epochs_done, opt_state=opt_state0,
-            snapshot_path=state_path,
-        )
+        if phase1_stop is not None:
+            state, key, p1_done = optimize_chunked_adaptive(
+                state, key, n_optimize_epochs, phase1_stop, label="optimize",
+                done=phase1_epochs_done, opt_state=opt_state0,
+                es=phase1_es, snapshot_path=state_path,
+                precision=phase1_precision,
+            )
+            timings["phase1_epochs"] = p1_done
+        else:
+            state, key = optimize_chunked(
+                state, key, n_optimize_epochs, label="optimize",
+                done=phase1_epochs_done, opt_state=opt_state0,
+                snapshot_path=state_path, precision=phase1_precision,
+            )
+            timings["phase1_epochs"] = n_optimize_epochs
         sync(state.w.q.loc)  # true sync: timings must not lie on the tunnel
     timings["optimize_s"] = time.perf_counter() - t0
 
@@ -249,6 +323,8 @@ def compress(
         finetune_crn = bool(cfg.patch)
     crn_key = jax.random.fold_in(key, 0x0C12)
     order = ("hh", "h", "w") if cfg.patch else ("w",)
+    timings["finetune_epochs"] = 0
+    timings["finetune_budget"] = 0
     for level in order:
         meta = codec.meta(level)
         n_ft = (finetune_overrides or {}).get(level, finetune_epochs(cfg, meta.n_groups, level))
@@ -278,8 +354,16 @@ def compress(
                 # Fresh Adam per group (reference: fresh optimizer each
                 # finetune) — optimize_chunked threads opt_state across its
                 # internal chunks only.
-                state, _ = optimize_chunked(state, sub, n_ft,
-                                            precision=coding_precision)
+                timings["finetune_budget"] += n_ft
+                if finetune_stop is not None:
+                    state, _, ft_done = optimize_chunked_adaptive(
+                        state, sub, n_ft, finetune_stop,
+                        precision=coding_precision)
+                    timings["finetune_epochs"] += ft_done
+                else:
+                    state, _ = optimize_chunked(state, sub, n_ft,
+                                                precision=coding_precision)
+                    timings["finetune_epochs"] += n_ft
             # sync_every batches the flow-control fetch over K group steps:
             # the dispatch queue stays bounded at <=K in-flight finetune
             # programs (K=1 reproduces the original per-group barrier; keep

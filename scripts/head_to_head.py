@@ -57,7 +57,11 @@ def load_shared(n_images: int, geometry: str = "cifar"):
 def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
              seed: int = 7, codebook: str | None = None,
              coding_precision: str | None = None,
-             finetune_crn: bool | None = None) -> dict:
+             finetune_crn: bool | None = None,
+             phase1_stop: tuple | None = None,
+             finetune_stop: tuple | None = None,
+             phase1_precision: str | None = None,
+             n_opt: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -93,14 +97,19 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
                 "phase1_opt_leaves": opt_leaves,
                 "resume_key": header.get("resume_key"),
             }
+            if header.get("phase1_es") is not None:
+                resume["phase1_es"] = tuple(header["phase1_es"])
             print(f"Resumed encode state from {state_path}", flush=True)
     t0 = time.perf_counter()
     res = compress(
         codec, state, jnp.asarray(X), jnp.asarray(Y), cfg, jax.random.key(seed),
-        n_optimize_epochs=N_OPT, sample_size=5, verbose=True,
+        n_optimize_epochs=(n_opt or N_OPT), sample_size=5, verbose=True,
         state_path=state_path, state_extra={"prior_fingerprint": fingerprint},
         coding_precision=coding_precision,
         finetune_crn=finetune_crn,
+        phase1_stop=phase1_stop,
+        finetune_stop=finetune_stop,
+        phase1_precision=phase1_precision,
         **resume,
     )
     wall = time.perf_counter() - t0
@@ -112,6 +121,8 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         "finetune_epochs": finetune_epochs(cfg, n_groups, "w"),
         "wall_s": round(wall, 1),
         "n_images": int(X.shape[0]),
+        "timings": {k: (round(v, 1) if isinstance(v, float) else v)
+                    for k, v in res.timings.items()},
     }
     return rec
 
@@ -250,6 +261,17 @@ def main() -> None:
                         "finetune (the reference's train(random_seed=epoch) "
                         "common-random-numbers semantics). Default None = the "
                         "library auto (ON for patch configs)")
+    p.add_argument("--p1_stop", nargs=3, type=float, default=None,
+                   metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
+                   help="ours side: adaptive phase-1 early stop "
+                        "(window, rel_tol, min_epochs)")
+    p.add_argument("--ft_stop", nargs=3, type=float, default=None,
+                   metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
+                   help="ours side: adaptive per-group finetune early stop")
+    p.add_argument("--p1_precision", default=None,
+                   choices=(None, "high", "highest"),
+                   help="ours side: phase-1 optimization matmul precision "
+                        "(None = ambient bf16-pass default)")
     p.add_argument("--precision", default="default",
                    choices=("scoped", "scoped_high", "default", "high", "highest"),
                    help="ours side: matmul precision mode. 'scoped'[_high] = "
@@ -281,18 +303,27 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
+    def stop_spec(v):
+        return None if v is None else (int(v[0]), float(v[1]), int(v[2]))
+
     art, X, Y = load_shared(args.n_images, args.geometry)
     rec = run_torch(art, X, Y, args.out, seed=args.enc_seed) if args.side == "torch" else run_ours(
         art, X, Y, args.out, state_path=args.state,
         seed=args.enc_seed, codebook=args.codebook,
         finetune_crn=args.finetune_crn,
         coding_precision=coding_precision,
+        phase1_stop=stop_spec(args.p1_stop),
+        finetune_stop=stop_spec(args.ft_stop),
+        phase1_precision=args.p1_precision,
     )
     rec["geometry"] = args.geometry
     rec["enc_seed"] = args.enc_seed
     if args.side == "ours":
         rec["codebook"] = args.codebook or "artifact-default"
         rec["matmul_precision"] = args.precision
+        rec["p1_stop"] = args.p1_stop
+        rec["ft_stop"] = args.ft_stop
+        rec["p1_precision"] = args.p1_precision
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec), flush=True)
