@@ -727,6 +727,147 @@ def encode_step(codec: Codec, state: CodecState, level: str) -> CodecState:
     return state.replace_level(level, encode_step_level(state.level(level), codec.meta(level)))
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "level", "n_steps", "n_ft", "lr", "sample_size",
+        "kl_adjust_gap", "window", "remat", "precision", "crn", "lr_schedule",
+    ),
+    donate_argnums=(1,),
+)
+def encode_chunk(
+    codec: Codec,
+    state: CodecState,
+    X: jax.Array,
+    Y: jax.Array,
+    key: jax.Array,
+    crn_key: jax.Array,
+    min_epoch,
+    rel_tol,
+    *,
+    cfg: ModalityConfig,
+    level: str,
+    n_steps: int,
+    n_ft: int,
+    lr: float = 2e-4,
+    sample_size: int = 5,
+    kl_adjust_gap: int = 10,
+    window: int = 0,
+    remat: bool = False,
+    precision: Optional[str] = None,
+    crn: bool = False,
+    lr_schedule: Optional[str] = None,
+):
+    """``n_steps`` progressive group steps — each an A* encode_step plus its
+    interleaved posterior finetune — fused into ONE compiled program.
+
+    The unfused loop dispatches 2 programs + a flow-control round trip per
+    group (progressive.py); on the remote-tunnel v5e that fixed overhead was
+    measured at ~1.5 s/group (docs/PERF.md) against multi-second finetunes —
+    and it dominates outright once the adaptive schedule shrinks the
+    finetunes. Scanning K group steps per program divides the per-group
+    dispatch cost by K while keeping the crash-resume/snapshot cadence at
+    chunk boundaries. The reference's loop is host-side per (row, group)
+    with a .item() sync per step (test_model.py:806-827).
+
+    Numerics are BIT-IDENTICAL to the unfused path (pinned by
+    tests/test_fused_coding.py): the finetune replays optimize_chunked's
+    exact key chain (one split for the chunk sub-key, then the per-epoch
+    pre-split) when ``window == 0``, and optimize_adaptive's per-epoch
+    split chain when ``window > 0`` (adaptive early stop; ``min_epoch`` /
+    ``rel_tol`` are dynamic, see optimize_adaptive). ``crn=True`` reuses
+    ``crn_key`` for every finetune (common-random-numbers, progressive.py).
+
+    Only single-chunk finetunes fuse (n_ft <= the caller's chunk_epochs
+    guard); longer budgets stay on the unfused path. Returns
+    (state, key, epochs_run (n_steps,)).
+
+    ``lr_schedule='cosine'`` decays each finetune's lr from ``lr`` to 0 over
+    its n_ft ceiling (fresh schedule per group, like the fresh Adam): an
+    optimization-quality knob the reference doesn't have (constant 2e-4
+    everywhere, main_compression.py:153) — measured per-finetune loss
+    improvement at 2e-4 is only ~1.2% over 240 epochs (docs/SCHEDULE.md).
+    """
+    meta = codec.meta(level)
+    if lr_schedule == "cosine":
+        opt = optax.adam(optax.cosine_decay_schedule(lr, max(n_ft, 1)))
+    else:
+        opt = optax.adam(lr)
+    loss_fn = _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat)
+
+    def epoch_update(s, o, i, k):
+        loss, grads = jax.value_and_grad(loss_fn)(_trainables(s), s, k)
+        s = jax.lax.cond(
+            i % kl_adjust_gap == 0,
+            lambda s: _anneal_all(s, codec, cfg),
+            lambda s: s,
+            s,
+        )
+        updates, o = opt.update(grads, o)
+        return _with_trainables(s, optax.apply_updates(_trainables(s), updates)), o, loss
+
+    def ft_fixed(s, ft_key):
+        # replay optimize_chunked's chain exactly: one (key, sub) split for
+        # the single <=chunk_epochs chunk, then optimize's pre-split epochs
+        _, sub = jax.random.split(ft_key)
+        keys = jax.random.split(sub, n_ft)
+        o = opt.init(_trainables(s))
+
+        def epoch(carry, inp):
+            s, o = carry
+            i, k = inp
+            s, o, _ = epoch_update(s, o, i, k)
+            return (s, o), None
+
+        (s, _), _ = jax.lax.scan(epoch, (s, o), (jnp.arange(n_ft), keys))
+        return s, jnp.int32(n_ft)
+
+    def ft_adaptive(s, ft_key):
+        # optimize_adaptive's chain: per-epoch splits from the carried key
+        o = opt.init(_trainables(s))
+
+        def cond(c):
+            _s, _o, _k, i, _prev, _cur, stop = c
+            return (i < n_ft) & ~stop
+
+        def body(c):
+            s, o, k, i, prev, cur, stop = c
+            k, sub = jax.random.split(k)
+            s, o, loss = epoch_update(s, o, i, sub)
+            cur = cur + loss
+            boundary = (i + 1) % window == 0
+            win = cur / window
+            plateau = (prev - win) < rel_tol * jnp.abs(win)
+            stop = boundary & plateau & ((i + 1) >= min_epoch) & jnp.isfinite(prev)
+            prev = jnp.where(boundary, win, prev)
+            cur = jnp.where(boundary, 0.0, cur)
+            return (s, o, k, i + 1, prev, cur, stop)
+
+        s, _o, _k, i, _p, _c, _st = jax.lax.while_loop(
+            cond, body,
+            (s, o, ft_key, jnp.int32(0), jnp.float32(jnp.inf),
+             jnp.float32(0.0), jnp.asarray(False)),
+        )
+        return s, i
+
+    finetune = ft_adaptive if window > 0 else ft_fixed
+
+    def step(carry, _):
+        s, k = carry
+        s = s.replace_level(level, encode_step_level(s.level(level), meta))
+        if n_ft == 0:
+            return (s, k), jnp.int32(0)
+        if crn:
+            ft_key = crn_key
+        else:
+            k, ft_key = jax.random.split(k)
+        s, ran = finetune(s, ft_key)
+        return (s, k), ran
+
+    (state, key), rans = jax.lax.scan(step, (state, key), None, length=n_steps)
+    return state, key, rans
+
+
 # ---------------------------------------------------------------- decode
 
 

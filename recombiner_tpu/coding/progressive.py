@@ -24,6 +24,7 @@ from recombiner_tpu.coding.encoder import (
     Codec,
     CodecState,
     decode,
+    encode_chunk,
     encode_step,
     group_kl,
     optimize,
@@ -100,6 +101,9 @@ def compress(
     finetune_stop: Optional[tuple] = None,
     phase1_es: Optional[tuple] = None,
     phase1_precision: Optional[str] = None,
+    fused_steps: Optional[int] = None,
+    finetune_lr: Optional[float] = None,
+    finetune_lr_schedule: Optional[str] = None,
 ) -> EncodeResult:
     """Full encode: posterior optimization + progressive coding of all levels.
 
@@ -136,7 +140,13 @@ def compress(
     ``phase1_es`` restores the (prev_window_mean, window_sum) accumulator
     of an interrupted adaptive phase-1 (from the snapshot header).
     ``phase1_precision`` scopes matmul precision for phase-1 optimization
-    only (the finetunes take ``coding_precision``)."""
+    only (the finetunes take ``coding_precision``).
+
+    ``fused_steps=K`` fuses K group steps + their finetunes per compiled
+    program (encoder.encode_chunk) for levels whose finetune budget fits one
+    chunk (n_ft <= chunk_epochs), dividing the ~per-group dispatch overhead
+    by K at bit-identical numerics; None keeps the 2-programs-per-group
+    loop. Snapshot/flow-control cadence moves to chunk boundaries."""
     timings = {}
     t0 = time.perf_counter()
 
@@ -331,6 +341,62 @@ def compress(
         report_at = set(np.linspace(0, meta.n_groups - 1, 10).astype(int).tolist())
         # resume support: groups already coded (restored state) are skipped
         already = int(fetch_global(state.level(level).compressed).sum(axis=1).max())
+
+        if (finetune_lr or finetune_lr_schedule) and n_ft > 0 and not (
+                fused_steps and n_ft <= chunk_epochs):
+            raise ValueError(
+                "finetune_lr/finetune_lr_schedule require the fused coding "
+                "path (fused_steps with n_ft <= chunk_epochs)")
+        if fused_steps and 0 < n_ft <= chunk_epochs:
+            # ---- fused path: K group steps + finetunes per compiled program
+            if finetune_stop is not None:
+                ft_w, ft_tol, ft_min = finetune_stop
+            else:
+                ft_w, ft_tol, ft_min = 0, 0.0, 0
+            step_i = already
+            while step_i < meta.n_groups:
+                k_steps = min(int(fused_steps), meta.n_groups - step_i)
+                state, key, rans = encode_chunk(
+                    codec, state, X, Y, key, crn_key, ft_min, ft_tol,
+                    cfg=cfg, level=level, n_steps=k_steps, n_ft=n_ft,
+                    lr=(finetune_lr or lr), sample_size=sample_size,
+                    window=int(ft_w),
+                    remat=remat, precision=coding_precision,
+                    crn=bool(finetune_crn),
+                    lr_schedule=finetune_lr_schedule,
+                )
+                step_i += k_steps
+                timings["finetune_budget"] += n_ft * k_steps
+                timings["finetune_epochs"] += int(np.sum(fetch_global(rans)))
+                if multi_device:
+                    sync(state.level(level).q.loc)  # rendezvous barrier (below)
+                else:
+                    sync(state.level(level).indices)  # flow control (below)
+                if verbose:
+                    if report_at & set(range(step_i - k_steps, step_i)):
+                        d = distortion_of(codec, state, X, Y, cfg)
+                        print(
+                            f"[{level}] {step_i}/{meta.n_groups} groups coded; "
+                            f"distortion {np.mean(d):.4f}",
+                            flush=True,
+                        )
+                    else:
+                        print(f"[{level}] {step_i}/{meta.n_groups}", flush=True)
+                if log_fn is not None:
+                    log_fn(level, step_i - 1, state)
+                if state_path is not None:
+                    from recombiner_tpu.io.encode_state import save_encode_state
+
+                    save_encode_state(
+                        state_path, state,
+                        extra={"level": level, "step": step_i - 1,
+                               "phase1_epochs_done": n_optimize_epochs,
+                               "resume_key": np.asarray(
+                                   jax.random.key_data(key)).tolist(),
+                               **(state_extra or {})},
+                    )
+            continue
+
         for step_i in range(already, meta.n_groups):
             state = encode_step(codec, state, level)
             if n_ft > 0:

@@ -61,7 +61,11 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
              phase1_stop: tuple | None = None,
              finetune_stop: tuple | None = None,
              phase1_precision: str | None = None,
-             n_opt: int | None = None) -> dict:
+             n_opt: int | None = None,
+             fused_steps: int | None = None,
+             finetune_lr: float | None = None,
+             finetune_lr_schedule: str | None = None,
+             ft_epochs: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -110,6 +114,11 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         phase1_stop=phase1_stop,
         finetune_stop=finetune_stop,
         phase1_precision=phase1_precision,
+        fused_steps=fused_steps,
+        finetune_lr=finetune_lr,
+        finetune_lr_schedule=finetune_lr_schedule,
+        finetune_overrides=(None if ft_epochs is None
+                            else {k: ft_epochs for k in ("w", "h", "hh")}),
         **resume,
     )
     wall = time.perf_counter() - t0
@@ -272,6 +281,16 @@ def main() -> None:
                    choices=(None, "high", "highest"),
                    help="ours side: phase-1 optimization matmul precision "
                         "(None = ambient bf16-pass default)")
+    p.add_argument("--fused_steps", type=int, default=None,
+                   help="ours side: fuse K group steps + finetunes per "
+                        "compiled program (encoder.encode_chunk)")
+    p.add_argument("--ft_lr", type=float, default=None,
+                   help="ours side: finetune peak lr (fused path only)")
+    p.add_argument("--ft_lr_schedule", default=None, choices=(None, "cosine"),
+                   help="ours side: finetune lr schedule (fused path only)")
+    p.add_argument("--ft_epochs", type=int, default=None,
+                   help="ours side: override the per-group finetune budget "
+                        "for all levels (reference: max(30000/n,50))")
     p.add_argument("--precision", default="default",
                    choices=("scoped", "scoped_high", "default", "high", "highest"),
                    help="ours side: matmul precision mode. 'scoped'[_high] = "
@@ -315,6 +334,10 @@ def main() -> None:
         phase1_stop=stop_spec(args.p1_stop),
         finetune_stop=stop_spec(args.ft_stop),
         phase1_precision=args.p1_precision,
+        fused_steps=args.fused_steps,
+        finetune_lr=args.ft_lr,
+        finetune_lr_schedule=args.ft_lr_schedule,
+        ft_epochs=args.ft_epochs,
     )
     rec["geometry"] = args.geometry
     rec["enc_seed"] = args.enc_seed
@@ -324,6 +347,10 @@ def main() -> None:
         rec["p1_stop"] = args.p1_stop
         rec["ft_stop"] = args.ft_stop
         rec["p1_precision"] = args.p1_precision
+        rec["fused_steps"] = args.fused_steps
+        rec["ft_lr"] = args.ft_lr
+        rec["ft_lr_schedule"] = args.ft_lr_schedule
+        rec["ft_epochs"] = args.ft_epochs
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec), flush=True)
