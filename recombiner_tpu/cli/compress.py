@@ -62,6 +62,32 @@ def parse_args(argv=None):
                         "(+0.15/+0.30 dB on the kodak_mini head-to-head), OFF "
                         "otherwise (fresh draws measured ~0.1 dB better on "
                         "non-patch cifar; docs/HEAD_TO_HEAD.md round 3)")
+    p.add_argument("--schedule", default="reference",
+                   choices=("reference", "adaptive"),
+                   help="encode schedule. 'reference' spends the reference's "
+                        "fixed budgets unconditionally (30k phase-1 epochs + "
+                        "max(30000/n,50)-epoch finetunes, "
+                        "main_compression.py:148-158). 'adaptive' makes them "
+                        "ceilings with device-side windowed-plateau stops "
+                        "(phase 1 watches the distortion term, finetunes the "
+                        "ELBO) and fuses 8 group steps per compiled program — "
+                        "~2x encode wall at ~0.1 dB (docs/SCHEDULE.md). "
+                        "Explicit --p1_stop/--ft_stop/--fused_steps override "
+                        "the preset.")
+    p.add_argument("--p1_stop", type=float, nargs=3, default=None,
+                   metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
+                   help="adaptive phase-1 stop spec (see --schedule)")
+    p.add_argument("--ft_stop", type=float, nargs=3, default=None,
+                   metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
+                   help="adaptive per-group finetune stop spec")
+    p.add_argument("--p1_monitor", default="mse", choices=("mse", "loss"),
+                   help="phase-1 plateau statistic: 'mse' (distortion term; "
+                        "default — the beta-annealed ELBO never plateaus on "
+                        "long runs) or 'loss' (full ELBO)")
+    p.add_argument("--fused_steps", type=int, default=None,
+                   help="fuse K group steps + their finetunes per compiled "
+                        "program (bit-identical; snapshot cadence moves to "
+                        "chunk boundaries)")
     p.add_argument("--precision", default=None,
                    choices=("scoped", "scoped_high", "default", "high", "highest"),
                    help="matmul precision. The default is already the measured "
@@ -145,6 +171,17 @@ def main(argv=None):
         flush=True,
     )
 
+    # ADAPTIVE_PRESET: constants measured on the cifar head-to-head at the
+    # matched-RD frontier (docs/SCHEDULE.md) — a preset, not a format field
+    p1_stop, ft_stop, fused_steps = args.p1_stop, args.ft_stop, args.fused_steps
+    if args.schedule == "adaptive":
+        if p1_stop is None:
+            p1_stop = (2000.0, 2e-3, 8000.0)
+        if ft_stop is None:
+            ft_stop = (40.0, 1e-3, 80.0)
+        if fused_steps is None:
+            fused_steps = 8
+
     result = compress(
         codec,
         state,
@@ -155,6 +192,10 @@ def main(argv=None):
         n_optimize_epochs=args.n_epochs,
         lr=args.lr,
         sample_size=args.sample_size,
+        phase1_stop=tuple(p1_stop) if p1_stop is not None else None,
+        finetune_stop=tuple(ft_stop) if ft_stop is not None else None,
+        phase1_monitor=args.p1_monitor,
+        fused_steps=fused_steps,
         finetune_overrides=(
             None
             if args.finetune_epochs is None

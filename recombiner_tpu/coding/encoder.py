@@ -407,9 +407,19 @@ def _with_trainables(state: CodecState, qs) -> CodecState:
     return state
 
 
-def _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat):
+def _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat,
+                  with_aux: bool = False):
     """The shared MC-ELBO objective of optimize/optimize_adaptive
-    (test_model.py:625-630): mean MSE * n_rows + sum of beta-weighted KLs."""
+    (test_model.py:625-630): mean MSE * n_rows + sum of beta-weighted KLs.
+
+    ``with_aux`` additionally returns the distortion term (the scaled MSE)
+    as a value_and_grad aux — already computed inside the loss, so the aux
+    costs nothing. optimize_adaptive's ``monitor='mse'`` stop rule watches
+    it instead of the full ELBO, whose beta-annealed KL term is
+    NONSTATIONARY (update_betas moves beta every kl_adjust_gap epochs), so
+    an ELBO plateau never clears rel_tol on long phase-1 runs (measured:
+    docs/SCHEDULE.md trajectory, 30k epochs without a 0.1% window plateau
+    while distortion is flat from ~10k)."""
 
     def loss_fn(qs, st: CodecState, k):
         s = _with_trainables(st, qs)
@@ -420,6 +430,8 @@ def _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat):
         if s.h is not None:
             kl += beta_weighted_kl(s.h, codec.h)
             kl += beta_weighted_kl(s.hh, codec.hh)
+        if with_aux:
+            return mse + kl, mse
         return mse + kl
 
     if remat:
@@ -528,7 +540,7 @@ def optimize(
     jax.jit,
     static_argnames=(
         "cfg", "lr", "sample_size", "kl_adjust_gap", "window", "remat",
-        "precision",
+        "precision", "monitor",
     ),
     donate_argnums=(1,),
 )
@@ -552,6 +564,7 @@ def optimize_adaptive(
     remat: bool = False,
     precision: Optional[str] = None,
     opt_state=None,
+    monitor: str = "loss",
 ):
     """Early-stopping MC-ELBO optimization: same per-epoch math as
     ``optimize`` but run in a lax.while_loop that HALTS on device when the
@@ -570,6 +583,14 @@ def optimize_adaptive(
     for the plateau signal to clear the noise floor — calibrated on measured
     trajectories (docs/SCHEDULE.md).
 
+    ``monitor`` picks the watched scalar: ``'loss'`` (full ELBO — right for
+    short finetunes, whose group betas are frozen-settled) or ``'mse'``
+    (the distortion term only — right for PHASE 1, where update_betas keeps
+    the KL term nonstationary for the whole run so the windowed ELBO never
+    plateaus; the distortion term flattens once the posteriors converge,
+    docs/SCHEDULE.md trajectory). Gradients always come from the full ELBO;
+    only the stop statistic changes.
+
     Dynamic args (no recompile across finetune budgets): ``epoch0`` (global
     epoch counter at entry — keeps kl_adjust_gap phase and window boundaries
     aligned across resumable chunks), ``max_epoch``/``min_epoch`` (global
@@ -583,7 +604,8 @@ def optimize_adaptive(
     exactly from the same key).
     """
     opt = optax.adam(lr)
-    loss_fn = _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat)
+    loss_fn = _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat,
+                            with_aux=True)
 
     if opt_state is None:
         opt_state = opt.init(_trainables(state))
@@ -596,7 +618,9 @@ def optimize_adaptive(
     def body(c):
         s, o, k, i, prev, cur, stop = c
         k, sub = jax.random.split(k)
-        loss, grads = jax.value_and_grad(loss_fn)(_trainables(s), s, sub)
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            _trainables(s), s, sub)
+        loss = mse if monitor == "mse" else loss
         s = jax.lax.cond(
             i % kl_adjust_gap == 0,
             lambda s: _anneal_all(s, codec, cfg),

@@ -101,6 +101,7 @@ def compress(
     finetune_stop: Optional[tuple] = None,
     phase1_es: Optional[tuple] = None,
     phase1_precision: Optional[str] = None,
+    phase1_monitor: str = "mse",
     fused_steps: Optional[int] = None,
     finetune_lr: Optional[float] = None,
     finetune_lr_schedule: Optional[str] = None,
@@ -141,6 +142,10 @@ def compress(
     of an interrupted adaptive phase-1 (from the snapshot header).
     ``phase1_precision`` scopes matmul precision for phase-1 optimization
     only (the finetunes take ``coding_precision``).
+    ``phase1_monitor``: the statistic phase-1's plateau test watches —
+    'mse' (default: the distortion term; the beta-annealed ELBO is
+    nonstationary over a 30k-epoch phase 1 and never plateaus, measured in
+    docs/SCHEDULE.md) or 'loss' (the full ELBO, as the finetunes use).
 
     ``fused_steps=K`` fuses K group steps + their finetunes per compiled
     program (encoder.encode_chunk) for levels whose finetune budget fits one
@@ -213,7 +218,8 @@ def compress(
 
     def optimize_chunked_adaptive(state, key, n_epochs, stop, label=None,
                                   done=0, opt_state=None, es=None,
-                                  snapshot_path=None, precision=None):
+                                  snapshot_path=None, precision=None,
+                                  monitor="loss"):
         """Early-stop variant of optimize_chunked: the same <=chunk_epochs
         per-program bound (tunnel watchdog safety, above) but each chunk is
         one optimize_adaptive while_loop, and the outer loop ends as soon as
@@ -229,6 +235,7 @@ def compress(
                 codec, state, X, Y, key, done, done + n, min_epochs, rel_tol,
                 es, cfg=cfg, lr=lr, sample_size=sample_size, window=window,
                 remat=remat, precision=precision, opt_state=opt_state,
+                monitor=monitor,
             )
             done, stopped = (int(v) for v in jax.device_get((i, stopped)))
             if snapshot_path is not None:
@@ -277,7 +284,7 @@ def compress(
                 state, key, n_optimize_epochs, phase1_stop, label="optimize",
                 done=phase1_epochs_done, opt_state=opt_state0,
                 es=phase1_es, snapshot_path=state_path,
-                precision=phase1_precision,
+                precision=phase1_precision, monitor=phase1_monitor,
             )
             timings["phase1_epochs"] = p1_done
         else:

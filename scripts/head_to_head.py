@@ -36,6 +36,10 @@ PRIORS = {
     # full-EM kodak-topology prior (2x2 patches of 32x32, 3-level hierarchy)
     # trained by scripts/r3_patch_prior.sh — the patch-mode h2h geometry
     "kodak_mini": "docs/schedule_priors/PRIOR_rd_kodak_mini_bitrate=2.npz",
+    # full-EM audio-topology prior (1-D, 4x800-sample patches, 3-level
+    # hierarchy) trained by scripts/audio_mini_prior.py — the 1-D h2h
+    # geometry (VERDICT r3 next #5)
+    "audio_mini": "docs/schedule_priors/PRIOR_rd_audio_mini_bitrate=2.npz",
 }
 N_OPT = 30000
 
@@ -61,6 +65,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
              phase1_stop: tuple | None = None,
              finetune_stop: tuple | None = None,
              phase1_precision: str | None = None,
+             phase1_monitor: str = "mse",
              n_opt: int | None = None,
              fused_steps: int | None = None,
              finetune_lr: float | None = None,
@@ -114,6 +119,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         phase1_stop=phase1_stop,
         finetune_stop=finetune_stop,
         phase1_precision=phase1_precision,
+        phase1_monitor=phase1_monitor,
         fused_steps=fused_steps,
         finetune_lr=finetune_lr,
         finetune_lr_schedule=finetune_lr_schedule,
@@ -192,7 +198,14 @@ def run_torch(art, X, Y, out_path: str, seed: int = 42) -> dict:
             {"level2": list(cfg.level2_patch_nums),
              "level3": list(cfg.level3_patch_nums)} if cfg.patch else None
         ),
-        dataset={"kodak_mini": "kodak"}.get(cfg.name, cfg.name),
+        # the reference keys ONLY its metric + a bpp/kbps print on `dataset`
+        # (test_model.py:249-251, utils.py:200-213; unknown names make its
+        # metric return None and crash verbose logging): kodak_mini scores
+        # like kodak (scalar PSNR), audio_mini like audio (PSNR round=False,
+        # = our metric for audio_mini; its kbps-converted bpp print is
+        # cosmetic — the recorded bitrate below is ours, bits/sample)
+        dataset={"kodak_mini": "kodak", "audio_mini": "audio"}.get(
+            cfg.name, cfg.name),
         linear_transform=lt, upsample_net=up,
         p_loc=_p_loc, p_log_scale=_p_ls, init_log_scale=_avg,
         param_to_group=param2group, group_to_param=group2param,
@@ -251,7 +264,10 @@ def main() -> None:
     p.add_argument("--side", required=True, choices=("torch", "ours"))
     p.add_argument("--geometry", default="cifar", choices=tuple(PRIORS),
                    help="cifar: nonpatch 32x32; kodak_mini: 3-level patch "
-                        "hierarchy (2x2 patches of 32x32, VERDICT r3 #4)")
+                        "hierarchy (2x2 patches of 32x32, VERDICT r3 #4); "
+                        "audio_mini: 1-D 3-level hierarchy (4x800-sample "
+                        "patches, VERDICT r3 next #5). n_images counts patch "
+                        "ROWS for patch geometries.")
     p.add_argument("--n_images", type=int, default=8)
     p.add_argument("--out", required=True)
     p.add_argument("--n_opt", type=int, default=None,
@@ -281,6 +297,10 @@ def main() -> None:
                    choices=(None, "high", "highest"),
                    help="ours side: phase-1 optimization matmul precision "
                         "(None = ambient bf16-pass default)")
+    p.add_argument("--p1_monitor", default="mse", choices=("mse", "loss"),
+                   help="ours side: phase-1 plateau statistic (mse = the "
+                        "distortion term; loss = full beta-annealed ELBO, "
+                        "which never plateaus on long runs — docs/SCHEDULE.md)")
     p.add_argument("--fused_steps", type=int, default=None,
                    help="ours side: fuse K group steps + finetunes per "
                         "compiled program (encoder.encode_chunk)")
@@ -334,6 +354,7 @@ def main() -> None:
         phase1_stop=stop_spec(args.p1_stop),
         finetune_stop=stop_spec(args.ft_stop),
         phase1_precision=args.p1_precision,
+        phase1_monitor=args.p1_monitor,
         fused_steps=args.fused_steps,
         finetune_lr=args.ft_lr,
         finetune_lr_schedule=args.ft_lr_schedule,
@@ -347,6 +368,7 @@ def main() -> None:
         rec["p1_stop"] = args.p1_stop
         rec["ft_stop"] = args.ft_stop
         rec["p1_precision"] = args.p1_precision
+        rec["p1_monitor"] = args.p1_monitor
         rec["fused_steps"] = args.fused_steps
         rec["ft_lr"] = args.ft_lr
         rec["ft_lr_schedule"] = args.ft_lr_schedule

@@ -123,6 +123,38 @@ def test_adaptive_loss_tracks_fixed_budget(tiny_setup):
     assert la <= lf * 1.15, (la, lf, int(i))
 
 
+def test_monitor_changes_stop_statistic_not_math(tiny_setup):
+    """monitor='mse' must change ONLY the watched plateau statistic: with an
+    unsatisfiable tol both monitors run to max_epoch with bit-identical
+    posteriors (gradients always come from the full ELBO)."""
+    art, Xj, Yj = tiny_setup
+    args = dict(cfg=TINY, lr=2e-3, window=10)
+
+    codec, state = _fresh(art, 2)
+    s_loss, _o, _k, _es, i_loss, _ = optimize_adaptive(
+        codec, state, Xj, Yj, jax.random.key(7), 0, 40, 0, -np.inf,
+        (np.inf, 0.0), monitor="loss", **args)
+    codec, state = _fresh(art, 2)
+    s_mse, _o, _k, _es, i_mse, _ = optimize_adaptive(
+        codec, state, Xj, Yj, jax.random.key(7), 0, 40, 0, -np.inf,
+        (np.inf, 0.0), monitor="mse", **args)
+    assert int(i_loss) == int(i_mse) == 40
+    np.testing.assert_array_equal(
+        np.asarray(s_loss.w.q.loc), np.asarray(s_mse.w.q.loc))
+
+
+def test_monitor_mse_stop_fires(tiny_setup):
+    """monitor='mse' wiring: an always-plateau tol stops at the first
+    eligible window boundary, same as the loss monitor."""
+    art, Xj, Yj = tiny_setup
+    codec, state = _fresh(art, 2)
+    _s, _o, _k, _es, i, stopped = optimize_adaptive(
+        codec, state, Xj, Yj, jax.random.key(1), 0, 200, 25, np.inf,
+        (np.inf, 0.0), cfg=TINY, lr=2e-3, window=10, monitor="mse",
+    )
+    assert int(i) == 30 and bool(stopped)
+
+
 def test_compress_adaptive_end_to_end(tiny_setup):
     """compress() with adaptive stops runs end to end, reports the epochs
     actually spent (<= budgets), and still codes every group."""
