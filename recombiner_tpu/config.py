@@ -348,6 +348,31 @@ TINY_PATCH = _mk(
     bits_per_group=8,
 )
 
+# Audio's exact topology class (1-D, 3-level patch hierarchy, hidden 32^3,
+# 800-sample patches, latent grid 50) at 4-patch scale: one 3200-sample
+# (0.2 s @ 16 kHz) datapoint. Sized so the PyTorch reference engine
+# finishes a FULL-schedule encode in ~2-3 h on one CPU core — the
+# full-schedule 1-D head-to-head geometry (VERDICT r3 next #5;
+# scripts/head_to_head.py --geometry audio_mini). Bitrate is per-sample
+# (bits/px) here, not kbps — the kbps conversion is keyed on name=="audio"
+# (main_prior_training.py:75-83).
+AUDIO_MINI = _mk(
+    "audio_mini",
+    input_dim=32,
+    output_dim=1,
+    hidden_dims=(32, 32, 32),
+    data_dim=1,
+    pixel_sizes=(800,),
+    patch=True,
+    patch_nums=(4,),
+    level2_patch_nums=(2,),
+    level3_patch_nums=(4,),
+    fourier_dim=16,
+    upsample_factors=(16,),
+    bitrate_range=0.3,
+    lowest_bitrate=0.1,
+)
+
 # Tiny 1-D patched config: the audio topology class (data_dim=1, out=1,
 # 3-level hierarchy) at test scale.
 TINY_AUDIO = _mk(
@@ -392,7 +417,7 @@ TINY_VIDEO = _mk(
 CONFIGS = {
     c.name: c
     for c in (
-        CIFAR, KODAK, KODAK_MINI, AUDIO, VIDEO, PROTEIN,
+        CIFAR, KODAK, KODAK_MINI, AUDIO, AUDIO_MINI, VIDEO, PROTEIN,
         TINY, TINY_PATCH, TINY_AUDIO, TINY_VIDEO,
     )
 }

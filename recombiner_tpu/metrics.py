@@ -46,7 +46,7 @@ def metric(original: np.ndarray, compressed: np.ndarray, dataset: str):
         return batch_psnr(original, compressed, round8=True)
     if dataset in ("kodak", "kodak_mini", "video", "tiny_video"):
         return psnr(original, compressed, round8=True)
-    if dataset in ("audio", "tiny_audio"):
+    if dataset in ("audio", "audio_mini", "tiny_audio"):
         return psnr(original, compressed, round8=False)
     if dataset == "protein":
         return batch_rmsd(original, compressed, scale_factor=25.0)
