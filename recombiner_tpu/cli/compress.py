@@ -80,6 +80,13 @@ def parse_args(argv=None):
     p.add_argument("--ft_stop", type=float, nargs=3, default=None,
                    metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
                    help="adaptive per-group finetune stop spec")
+    p.add_argument("--p1_lr", type=float, nargs=2, default=None,
+                   metavar=("PEAK", "FLOOR"),
+                   help="cosine-decay phase-1 Adam lr from PEAK to FLOOR "
+                        "over --n_epochs (reference: constant --lr for 30k, "
+                        "main_compression.py:148-151). Encoder-side only — "
+                        "the shortened-phase-1 lever (docs/SCHEDULE.md); "
+                        "pair with a reduced --n_epochs.")
     p.add_argument("--p1_monitor", default="mse", choices=("mse", "loss"),
                    help="phase-1 plateau statistic: 'mse' (distortion term; "
                         "default — the beta-annealed ELBO never plateaus on "
@@ -195,6 +202,7 @@ def main(argv=None):
         phase1_stop=tuple(p1_stop) if p1_stop is not None else None,
         finetune_stop=tuple(ft_stop) if ft_stop is not None else None,
         phase1_monitor=args.p1_monitor,
+        phase1_lr=tuple(args.p1_lr) if args.p1_lr else None,
         fused_steps=fused_steps,
         finetune_overrides=(
             None

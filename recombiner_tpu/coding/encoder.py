@@ -439,6 +439,35 @@ def _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat,
     return loss_fn
 
 
+def _make_opt(lr: float, lr_schedule=None):
+    """Adam, optionally with a cosine learning-rate schedule.
+
+    ``lr_schedule=("cosine", peak, floor, total)`` runs Adam at
+    cosine-decayed lr from ``peak`` to ``floor`` over ``total`` steps
+    (constant ``floor`` afterwards). The step counter lives in the optimizer
+    state, so chunked runs that thread opt_state resume the schedule exactly;
+    ``lr`` is ignored when a schedule is given.
+
+    The reference optimizes phase 1 at a CONSTANT 2e-4 for 30,000 epochs
+    (main_compression.py:148-151). A decayed schedule is encoder-side only
+    (the bitstream is indices; the schedule never leaves the encoder) and is
+    the measured matched-RD lever for shortening phase 1: the windowed ELBO
+    keeps improving 0.2-1% per 2000-epoch window all the way to 30k at
+    constant lr (docs/SCHEDULE.md), so plateau stops never fire and hard
+    caps cost 0.4 dB — decaying the lr converges the same trajectory in
+    fewer epochs instead."""
+    if lr_schedule is None:
+        return optax.adam(lr)
+    kind, peak, floor, total = lr_schedule
+    assert kind == "cosine", lr_schedule
+    sched = optax.cosine_decay_schedule(
+        init_value=float(peak), decay_steps=int(total),
+        alpha=float(floor) / float(peak))
+    return optax.chain(
+        optax.scale_by_adam(), optax.scale_by_schedule(sched),
+        optax.scale(-1.0))
+
+
 def _anneal_all(s: CodecState, codec: Codec, cfg: ModalityConfig) -> CodecState:
     s = s.replace_level("w", update_betas(s.w, codec.w, cfg.bits_per_group))
     if s.h is not None:
@@ -451,7 +480,7 @@ def _anneal_all(s: CodecState, codec: Codec, cfg: ModalityConfig) -> CodecState:
     jax.jit,
     static_argnames=(
         "cfg", "n_epochs", "lr", "sample_size", "kl_adjust_gap", "adjust_betas",
-        "return_opt_state", "remat", "precision", "return_loss",
+        "return_opt_state", "remat", "precision", "return_loss", "lr_schedule",
     ),
     donate_argnums=(1,),
 )
@@ -473,6 +502,7 @@ def optimize(
     remat: bool = False,
     precision: Optional[str] = None,
     return_loss: bool = False,
+    lr_schedule: Optional[tuple] = None,
 ) -> CodecState:
     """MC-ELBO posterior optimization with in-scan beta annealing
     (test_model.py:621-635). By default Adam starts fresh, matching the
@@ -496,8 +526,11 @@ def optimize(
 
     return_loss=True additionally returns the per-epoch loss trajectory
     (n_epochs,) — the instrumentation surface the adaptive encode schedule
-    was calibrated on (scripts/schedule_trajectory.py)."""
-    opt = optax.adam(lr)
+    was calibrated on (scripts/schedule_trajectory.py).
+
+    ``lr_schedule``: see _make_opt — cosine-decayed Adam whose step counter
+    threads through opt_state across chunks (``lr`` ignored when given)."""
+    opt = _make_opt(lr, lr_schedule)
     loss_fn = _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat)
 
     if opt_state is None:
@@ -540,7 +573,7 @@ def optimize(
     jax.jit,
     static_argnames=(
         "cfg", "lr", "sample_size", "kl_adjust_gap", "window", "remat",
-        "precision", "monitor",
+        "precision", "monitor", "lr_schedule",
     ),
     donate_argnums=(1,),
 )
@@ -565,6 +598,7 @@ def optimize_adaptive(
     precision: Optional[str] = None,
     opt_state=None,
     monitor: str = "loss",
+    lr_schedule: Optional[tuple] = None,
 ):
     """Early-stopping MC-ELBO optimization: same per-epoch math as
     ``optimize`` but run in a lax.while_loop that HALTS on device when the
@@ -603,7 +637,7 @@ def optimize_adaptive(
     stream than optimize's pre-split array — crash-resume replays it
     exactly from the same key).
     """
-    opt = optax.adam(lr)
+    opt = _make_opt(lr, lr_schedule)
     loss_fn = _elbo_loss_fn(codec, X, Y, cfg, sample_size, precision, remat,
                             with_aux=True)
 

@@ -102,6 +102,7 @@ def compress(
     phase1_es: Optional[tuple] = None,
     phase1_precision: Optional[str] = None,
     phase1_monitor: str = "mse",
+    phase1_lr: Optional[tuple] = None,
     fused_steps: Optional[int] = None,
     finetune_lr: Optional[float] = None,
     finetune_lr_schedule: Optional[str] = None,
@@ -146,6 +147,11 @@ def compress(
     'mse' (default: the distortion term; the beta-annealed ELBO is
     nonstationary over a 30k-epoch phase 1 and never plateaus, measured in
     docs/SCHEDULE.md) or 'loss' (the full ELBO, as the finetunes use).
+    ``phase1_lr=(peak, floor)``: cosine-decay phase-1's Adam lr from peak to
+    floor over ``n_optimize_epochs`` instead of the reference's constant
+    ``lr`` (main_compression.py:148-151) — the matched-RD lever for a
+    SHORTENED phase 1 (docs/SCHEDULE.md); encoder-side only, the schedule
+    counter rides opt_state so chunked/resumed runs continue it exactly.
 
     ``fused_steps=K`` fuses K group steps + their finetunes per compiled
     program (encoder.encode_chunk) for levels whose finetune budget fits one
@@ -175,7 +181,7 @@ def compress(
     # (modulo per-epoch RNG stream splits, which are encoder-side only).
     def optimize_chunked(state, key, n_epochs, label=None,
                          done=0, opt_state=None, snapshot_path=None,
-                         precision=None):
+                         precision=None, lr_schedule=None):
         """Returns (state, advanced key): the outer key chain continues from
         where the chunks left off, so finetune substreams never re-derive
         (key, sub) pairs phase-1 already consumed.
@@ -191,7 +197,7 @@ def compress(
                 codec, state, X, Y, sub,
                 cfg=cfg, n_epochs=n, lr=lr, sample_size=sample_size,
                 opt_state=opt_state, return_opt_state=True, remat=remat,
-                precision=precision,
+                precision=precision, lr_schedule=lr_schedule,
             )
             done += n
             sync(state.w.kl_beta)  # flow control: one in-flight chunk (small fetch)
@@ -219,7 +225,7 @@ def compress(
     def optimize_chunked_adaptive(state, key, n_epochs, stop, label=None,
                                   done=0, opt_state=None, es=None,
                                   snapshot_path=None, precision=None,
-                                  monitor="loss"):
+                                  monitor="loss", lr_schedule=None):
         """Early-stop variant of optimize_chunked: the same <=chunk_epochs
         per-program bound (tunnel watchdog safety, above) but each chunk is
         one optimize_adaptive while_loop, and the outer loop ends as soon as
@@ -235,7 +241,7 @@ def compress(
                 codec, state, X, Y, key, done, done + n, min_epochs, rel_tol,
                 es, cfg=cfg, lr=lr, sample_size=sample_size, window=window,
                 remat=remat, precision=precision, opt_state=opt_state,
-                monitor=monitor,
+                monitor=monitor, lr_schedule=lr_schedule,
             )
             done, stopped = (int(v) for v in jax.device_get((i, stopped)))
             if snapshot_path is not None:
@@ -264,15 +270,17 @@ def compress(
     if resume_key is not None:
         key = jax.random.wrap_key_data(jnp.asarray(resume_key, jnp.uint32))
     timings["phase1_epochs"] = 0
+    p1_sched = (
+        ("cosine", float(phase1_lr[0]), float(phase1_lr[1]), n_optimize_epochs)
+        if phase1_lr is not None else None
+    )
     if n_optimize_epochs > phase1_epochs_done and not resuming:
         opt_state0 = None
         if phase1_opt_leaves is not None:
-            import optax
-
-            from recombiner_tpu.coding.encoder import _trainables
+            from recombiner_tpu.coding.encoder import _make_opt, _trainables
 
             treedef = jax.tree_util.tree_structure(
-                optax.adam(lr).init(_trainables(state))
+                _make_opt(lr, p1_sched).init(_trainables(state))
             )
             opt_state0 = jax.tree_util.tree_unflatten(treedef, phase1_opt_leaves)
             if verbose:
@@ -285,6 +293,7 @@ def compress(
                 done=phase1_epochs_done, opt_state=opt_state0,
                 es=phase1_es, snapshot_path=state_path,
                 precision=phase1_precision, monitor=phase1_monitor,
+                lr_schedule=p1_sched,
             )
             timings["phase1_epochs"] = p1_done
         else:
@@ -292,6 +301,7 @@ def compress(
                 state, key, n_optimize_epochs, label="optimize",
                 done=phase1_epochs_done, opt_state=opt_state0,
                 snapshot_path=state_path, precision=phase1_precision,
+                lr_schedule=p1_sched,
             )
             timings["phase1_epochs"] = n_optimize_epochs
         sync(state.w.q.loc)  # true sync: timings must not lie on the tunnel

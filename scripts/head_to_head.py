@@ -66,6 +66,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
              finetune_stop: tuple | None = None,
              phase1_precision: str | None = None,
              phase1_monitor: str = "mse",
+             phase1_lr: tuple | None = None,
              n_opt: int | None = None,
              fused_steps: int | None = None,
              finetune_lr: float | None = None,
@@ -120,6 +121,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         finetune_stop=finetune_stop,
         phase1_precision=phase1_precision,
         phase1_monitor=phase1_monitor,
+        phase1_lr=phase1_lr,
         fused_steps=fused_steps,
         finetune_lr=finetune_lr,
         finetune_lr_schedule=finetune_lr_schedule,
@@ -297,6 +299,12 @@ def main() -> None:
                    choices=(None, "high", "highest"),
                    help="ours side: phase-1 optimization matmul precision "
                         "(None = ambient bf16-pass default)")
+    p.add_argument("--p1_lr", type=float, nargs=2, default=None,
+                   metavar=("PEAK", "FLOOR"),
+                   help="ours side: cosine-decay phase-1 Adam lr from PEAK "
+                        "to FLOOR over --n_opt epochs (reference: constant "
+                        "2e-4 for 30k — the shortened-phase-1 lever, "
+                        "docs/SCHEDULE.md)")
     p.add_argument("--p1_monitor", default="mse", choices=("mse", "loss"),
                    help="ours side: phase-1 plateau statistic (mse = the "
                         "distortion term; loss = full beta-annealed ELBO, "
@@ -355,6 +363,7 @@ def main() -> None:
         finetune_stop=stop_spec(args.ft_stop),
         phase1_precision=args.p1_precision,
         phase1_monitor=args.p1_monitor,
+        phase1_lr=tuple(args.p1_lr) if args.p1_lr else None,
         fused_steps=args.fused_steps,
         finetune_lr=args.ft_lr,
         finetune_lr_schedule=args.ft_lr_schedule,
@@ -369,6 +378,7 @@ def main() -> None:
         rec["ft_stop"] = args.ft_stop
         rec["p1_precision"] = args.p1_precision
         rec["p1_monitor"] = args.p1_monitor
+        rec["p1_lr"] = args.p1_lr
         rec["fused_steps"] = args.fused_steps
         rec["ft_lr"] = args.ft_lr
         rec["ft_lr_schedule"] = args.ft_lr_schedule
