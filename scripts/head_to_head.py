@@ -144,7 +144,8 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
     return rec
 
 
-def run_torch(art, X, Y, out_path: str, seed: int = 42) -> dict:
+def run_torch(art, X, Y, out_path: str, seed: int = 42,
+              n_opt: int | None = None) -> dict:
     """The reference's own TestBNNmodel end to end, geometry taken from the
     artifact config — wires BOTH the nonpatch branch (main_compression.py:
     37-145) and the 3-level patch branch (h/hh priors reordered by their own
@@ -234,12 +235,16 @@ def run_torch(art, X, Y, out_path: str, seed: int = 42) -> dict:
         )
     m = ref_test_model.TestBNNmodel(**kw)
     x, y = torch.from_numpy(X), torch.from_numpy(Y)
-    # reference finetune budgets (main_compression.py:156-158)
-    n_ft = max(N_OPT // int(n_groups), 50)
-    h_ft = max(15000 // int(h_n), 20) if cfg.patch else None
-    hh_ft = max(15000 // int(hh_n), 20) if cfg.patch else None
+    # reference finetune budgets (main_compression.py:156-158), scaled
+    # proportionally when a reduced matched schedule is requested (--n_opt:
+    # audio-geometry torch encodes cost ~8 h CPU at the full schedule)
+    n1 = n_opt or N_OPT
+    n_ft = max(n1 // int(n_groups), 50)
+    h_budget = int(15000 * n1 / N_OPT)
+    h_ft = max(h_budget // int(h_n), 20) if cfg.patch else None
+    hh_ft = max(h_budget // int(hh_n), 20) if cfg.patch else None
     t0 = time.perf_counter()
-    m.optimize_posteriors(x, y, n_epochs=N_OPT, lr=2e-4, verbose=1)
+    m.optimize_posteriors(x, y, n_epochs=n1, lr=2e-4, verbose=1)
     m.compress_posteriors(
         x, y, n_epochs_finetune=n_ft, h_n_epochs_finetune=h_ft,
         hh_n_epochs_finetune=hh_ft, verbose=1, lr=2e-4, fine_tune_gap=1,
@@ -255,6 +260,7 @@ def run_torch(art, X, Y, out_path: str, seed: int = 42) -> dict:
         "bitrate_bpp": float(cfg.bitrate_of_groups(int(n_groups), int(h_n), int(hh_n))),
         "n_groups": int(n_groups),
         "finetune_epochs": n_ft,
+        "n_opt": n1,
         "wall_s": round(wall, 1),
         "n_images": int(X.shape[0]),
     }
@@ -354,7 +360,9 @@ def main() -> None:
         return None if v is None else (int(v[0]), float(v[1]), int(v[2]))
 
     art, X, Y = load_shared(args.n_images, args.geometry)
-    rec = run_torch(art, X, Y, args.out, seed=args.enc_seed) if args.side == "torch" else run_ours(
+    rec = run_torch(
+        art, X, Y, args.out, seed=args.enc_seed, n_opt=args.n_opt,
+    ) if args.side == "torch" else run_ours(
         art, X, Y, args.out, state_path=args.state,
         seed=args.enc_seed, codebook=args.codebook,
         finetune_crn=args.finetune_crn,
