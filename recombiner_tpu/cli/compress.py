@@ -94,6 +94,11 @@ def parse_args(argv=None):
                         "main_compression.py:148-151). Encoder-side only — "
                         "the shortened-phase-1 lever (docs/SCHEDULE.md); "
                         "pair with a reduced --n_epochs.")
+    p.add_argument("--p1_samples", type=int, default=None,
+                   help="phase-1 MC sample size (default: --sample_size, "
+                        "the reference's 5 — main_compression.py:151). "
+                        "Epoch cost is ~linear in S; finetunes always use "
+                        "--sample_size.")
     p.add_argument("--p1_monitor", default="mse", choices=("mse", "loss"),
                    help="phase-1 plateau statistic: 'mse' (distortion term; "
                         "default — the beta-annealed ELBO never plateaus on "
@@ -217,6 +222,7 @@ def main(argv=None):
         finetune_stop=tuple(ft_stop) if ft_stop is not None else None,
         phase1_monitor=args.p1_monitor,
         phase1_lr=tuple(p1_lr) if p1_lr else None,
+        phase1_sample_size=args.p1_samples,
         fused_steps=fused_steps,
         finetune_overrides=(
             None

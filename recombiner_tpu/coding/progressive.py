@@ -103,6 +103,7 @@ def compress(
     phase1_precision: Optional[str] = None,
     phase1_monitor: str = "mse",
     phase1_lr: Optional[tuple] = None,
+    phase1_sample_size: Optional[int] = None,
     fused_steps: Optional[int] = None,
     finetune_lr: Optional[float] = None,
     finetune_lr_schedule: Optional[str] = None,
@@ -152,6 +153,9 @@ def compress(
     ``lr`` (main_compression.py:148-151) — the matched-RD lever for a
     SHORTENED phase 1 (docs/SCHEDULE.md); encoder-side only, the schedule
     counter rides opt_state so chunked/resumed runs continue it exactly.
+    ``phase1_sample_size``: MC sample count for phase-1 epochs only (the
+    reference uses S=5 everywhere, main_compression.py:151; epoch cost is
+    ~linear in S). Finetunes keep ``sample_size``.
 
     ``fused_steps=K`` fuses K group steps + their finetunes per compiled
     program (encoder.encode_chunk) for levels whose finetune budget fits one
@@ -181,7 +185,7 @@ def compress(
     # (modulo per-epoch RNG stream splits, which are encoder-side only).
     def optimize_chunked(state, key, n_epochs, label=None,
                          done=0, opt_state=None, snapshot_path=None,
-                         precision=None, lr_schedule=None):
+                         precision=None, lr_schedule=None, n_samples=None):
         """Returns (state, advanced key): the outer key chain continues from
         where the chunks left off, so finetune substreams never re-derive
         (key, sub) pairs phase-1 already consumed.
@@ -195,7 +199,8 @@ def compress(
             key, sub = jax.random.split(key)
             state, opt_state = optimize(
                 codec, state, X, Y, sub,
-                cfg=cfg, n_epochs=n, lr=lr, sample_size=sample_size,
+                cfg=cfg, n_epochs=n, lr=lr,
+                sample_size=(n_samples or sample_size),
                 opt_state=opt_state, return_opt_state=True, remat=remat,
                 precision=precision, lr_schedule=lr_schedule,
             )
@@ -225,7 +230,8 @@ def compress(
     def optimize_chunked_adaptive(state, key, n_epochs, stop, label=None,
                                   done=0, opt_state=None, es=None,
                                   snapshot_path=None, precision=None,
-                                  monitor="loss", lr_schedule=None):
+                                  monitor="loss", lr_schedule=None,
+                                  n_samples=None):
         """Early-stop variant of optimize_chunked: the same <=chunk_epochs
         per-program bound (tunnel watchdog safety, above) but each chunk is
         one optimize_adaptive while_loop, and the outer loop ends as soon as
@@ -239,7 +245,8 @@ def compress(
             n = min(chunk_epochs, n_epochs - done)
             state, opt_state, key, es, i, stopped = optimize_adaptive(
                 codec, state, X, Y, key, done, done + n, min_epochs, rel_tol,
-                es, cfg=cfg, lr=lr, sample_size=sample_size, window=window,
+                es, cfg=cfg, lr=lr, sample_size=(n_samples or sample_size),
+                window=window,
                 remat=remat, precision=precision, opt_state=opt_state,
                 monitor=monitor, lr_schedule=lr_schedule,
             )
@@ -293,7 +300,7 @@ def compress(
                 done=phase1_epochs_done, opt_state=opt_state0,
                 es=phase1_es, snapshot_path=state_path,
                 precision=phase1_precision, monitor=phase1_monitor,
-                lr_schedule=p1_sched,
+                lr_schedule=p1_sched, n_samples=phase1_sample_size,
             )
             timings["phase1_epochs"] = p1_done
         else:
@@ -301,7 +308,7 @@ def compress(
                 state, key, n_optimize_epochs, label="optimize",
                 done=phase1_epochs_done, opt_state=opt_state0,
                 snapshot_path=state_path, precision=phase1_precision,
-                lr_schedule=p1_sched,
+                lr_schedule=p1_sched, n_samples=phase1_sample_size,
             )
             timings["phase1_epochs"] = n_optimize_epochs
         sync(state.w.q.loc)  # true sync: timings must not lie on the tunnel

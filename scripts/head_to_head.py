@@ -67,6 +67,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
              phase1_precision: str | None = None,
              phase1_monitor: str = "mse",
              phase1_lr: tuple | None = None,
+             phase1_sample_size: int | None = None,
              n_opt: int | None = None,
              fused_steps: int | None = None,
              finetune_lr: float | None = None,
@@ -122,6 +123,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         phase1_precision=phase1_precision,
         phase1_monitor=phase1_monitor,
         phase1_lr=phase1_lr,
+        phase1_sample_size=phase1_sample_size,
         fused_steps=fused_steps,
         finetune_lr=finetune_lr,
         finetune_lr_schedule=finetune_lr_schedule,
@@ -311,6 +313,10 @@ def main() -> None:
                         "to FLOOR over --n_opt epochs (reference: constant "
                         "2e-4 for 30k — the shortened-phase-1 lever, "
                         "docs/SCHEDULE.md)")
+    p.add_argument("--p1_samples", type=int, default=None,
+                   help="ours side: phase-1 MC sample size (reference: 5 "
+                        "everywhere; epoch cost ~linear in S, finetunes "
+                        "keep S=5)")
     p.add_argument("--p1_monitor", default="mse", choices=("mse", "loss"),
                    help="ours side: phase-1 plateau statistic (mse = the "
                         "distortion term; loss = full beta-annealed ELBO, "
@@ -372,6 +378,7 @@ def main() -> None:
         phase1_precision=args.p1_precision,
         phase1_monitor=args.p1_monitor,
         phase1_lr=tuple(args.p1_lr) if args.p1_lr else None,
+        phase1_sample_size=args.p1_samples,
         fused_steps=args.fused_steps,
         finetune_lr=args.ft_lr,
         finetune_lr_schedule=args.ft_lr_schedule,
@@ -387,6 +394,7 @@ def main() -> None:
         rec["p1_precision"] = args.p1_precision
         rec["p1_monitor"] = args.p1_monitor
         rec["p1_lr"] = args.p1_lr
+        rec["p1_samples"] = args.p1_samples
         rec["fused_steps"] = args.fused_steps
         rec["ft_lr"] = args.ft_lr
         rec["ft_lr_schedule"] = args.ft_lr_schedule
