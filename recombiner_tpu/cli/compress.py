@@ -72,15 +72,15 @@ def parse_args(argv=None):
                         "fixed budgets unconditionally (30k phase-1 epochs + "
                         "max(30000/n,50)-epoch finetunes at constant lr, "
                         "main_compression.py:148-158). 'adaptive' runs a "
-                        "15000-epoch phase 1 under cosine lr 6e-4->2e-5 "
-                        "(same trajectory in half the epochs — measured "
-                        "ABOVE the reference's RD at matched bpp), makes "
-                        "the finetune budgets ceilings with a device-side "
-                        "windowed-plateau stop, and fuses 8 group steps per "
-                        "compiled program — ~1.9x fewer total epochs at "
-                        "+0.2 dB (docs/SCHEDULE.md). Explicit --n_epochs/"
-                        "--p1_lr/--p1_stop/--ft_stop/--fused_steps override "
-                        "the preset.")
+                        "15000-epoch S=3 phase 1 under cosine lr "
+                        "6e-4->2e-5 (same trajectory at ~30% of the "
+                        "phase-1 compute; RD statistically matched to the "
+                        "full schedule at matched bpp — docs/SCHEDULE.md), "
+                        "makes the finetune budgets ceilings with a "
+                        "device-side windowed-plateau stop, and fuses 8 "
+                        "group steps per compiled program. Explicit "
+                        "--n_epochs/--p1_lr/--p1_samples/--p1_stop/"
+                        "--ft_stop/--fused_steps override the preset.")
     p.add_argument("--p1_stop", type=float, nargs=3, default=None,
                    metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
                    help="adaptive phase-1 stop spec (see --schedule)")
@@ -193,12 +193,14 @@ def main(argv=None):
     # ADAPTIVE_PRESET: constants measured on the cifar head-to-head at the
     # matched-RD frontier (docs/SCHEDULE.md) — a preset, not a format field
     p1_stop, ft_stop, fused_steps = args.p1_stop, args.ft_stop, args.fused_steps
-    n_epochs, p1_lr = args.n_epochs, args.p1_lr
+    n_epochs, p1_lr, p1_samples = args.n_epochs, args.p1_lr, args.p1_samples
     if args.schedule == "adaptive":
         if n_epochs is None:
             n_epochs = 15000
         if p1_lr is None:
             p1_lr = (6e-4, 2e-5)
+        if p1_samples is None:
+            p1_samples = 3  # RD-neutral at ~0.6x phase-1 epoch cost
         if p1_stop is None:
             p1_stop = (2000.0, 2e-3, 8000.0)
         if ft_stop is None:
@@ -222,7 +224,7 @@ def main(argv=None):
         finetune_stop=tuple(ft_stop) if ft_stop is not None else None,
         phase1_monitor=args.p1_monitor,
         phase1_lr=tuple(p1_lr) if p1_lr else None,
-        phase1_sample_size=args.p1_samples,
+        phase1_sample_size=p1_samples,
         fused_steps=fused_steps,
         finetune_overrides=(
             None
