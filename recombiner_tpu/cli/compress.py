@@ -119,6 +119,45 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+# ADAPTIVE_PRESET: constants measured on the cifar head-to-head at the
+# matched-RD frontier (docs/SCHEDULE.md) — a preset, not a format field.
+ADAPTIVE_PRESET = {
+    "n_epochs": 15000,
+    "p1_lr": (6e-4, 2e-5),
+    "p1_samples": 3,  # RD-neutral at ~0.6x phase-1 epoch cost
+    "p1_stop": (2000.0, 2e-3, 8000.0),
+    "ft_stop": (40.0, 1e-3, 80.0),
+    "fused_steps": 8,
+}
+
+
+def resolve_schedule(args):
+    """Resolve schedule knobs: explicit flags beat the --schedule preset.
+
+    Returns (n_epochs, p1_lr, p1_samples, p1_stop, ft_stop, fused_steps);
+    the 'reference' schedule leaves everything at the reference's fixed
+    budgets (30k phase-1 epochs, main_compression.py:148).
+    """
+    p1_stop, ft_stop, fused_steps = args.p1_stop, args.ft_stop, args.fused_steps
+    n_epochs, p1_lr, p1_samples = args.n_epochs, args.p1_lr, args.p1_samples
+    if args.schedule == "adaptive":
+        if n_epochs is None:
+            n_epochs = ADAPTIVE_PRESET["n_epochs"]
+        if p1_lr is None:
+            p1_lr = ADAPTIVE_PRESET["p1_lr"]
+        if p1_samples is None:
+            p1_samples = ADAPTIVE_PRESET["p1_samples"]
+        if p1_stop is None:
+            p1_stop = ADAPTIVE_PRESET["p1_stop"]
+        if ft_stop is None:
+            ft_stop = ADAPTIVE_PRESET["ft_stop"]
+        if fused_steps is None:
+            fused_steps = ADAPTIVE_PRESET["fused_steps"]
+    if n_epochs is None:
+        n_epochs = 30000  # main_compression.py:148
+    return n_epochs, p1_lr, p1_samples, p1_stop, ft_stop, fused_steps
+
+
 def main(argv=None):
     from recombiner_tpu.utils.platform import (
         apply_platform_override,
@@ -190,25 +229,9 @@ def main(argv=None):
         flush=True,
     )
 
-    # ADAPTIVE_PRESET: constants measured on the cifar head-to-head at the
-    # matched-RD frontier (docs/SCHEDULE.md) — a preset, not a format field
-    p1_stop, ft_stop, fused_steps = args.p1_stop, args.ft_stop, args.fused_steps
-    n_epochs, p1_lr, p1_samples = args.n_epochs, args.p1_lr, args.p1_samples
-    if args.schedule == "adaptive":
-        if n_epochs is None:
-            n_epochs = 15000
-        if p1_lr is None:
-            p1_lr = (6e-4, 2e-5)
-        if p1_samples is None:
-            p1_samples = 3  # RD-neutral at ~0.6x phase-1 epoch cost
-        if p1_stop is None:
-            p1_stop = (2000.0, 2e-3, 8000.0)
-        if ft_stop is None:
-            ft_stop = (40.0, 1e-3, 80.0)
-        if fused_steps is None:
-            fused_steps = 8
-    if n_epochs is None:
-        n_epochs = 30000  # main_compression.py:148
+    n_epochs, p1_lr, p1_samples, p1_stop, ft_stop, fused_steps = (
+        resolve_schedule(args)
+    )
 
     result = compress(
         codec,

@@ -183,3 +183,35 @@ def test_rd_sweep_state_dir_resume(tmp_path):
                                  "--load_prior_dir", pdir])
     assert p2[0]["actual_bitrate"] == p1[0]["actual_bitrate"]
     assert p2[0]["timings"]["optimize_s"] < p1[0]["timings"]["optimize_s"]
+
+
+def test_adaptive_schedule_preset_resolution():
+    """--schedule adaptive fills unset knobs from ADAPTIVE_PRESET; explicit
+    flags always win; 'reference' keeps the fixed budgets
+    (main_compression.py:148-158)."""
+    from recombiner_tpu.cli import compress
+
+    base = ["--test_dir", "d", "--test_idx", "0", "--prior_path", "p.npz",
+            "--save_dir", "s"]
+
+    # reference schedule: fixed 30k phase 1, no stops, no fusion
+    ref = compress.resolve_schedule(compress.parse_args(base))
+    assert ref == (30000, None, None, None, None, None)
+
+    # adaptive preset: every knob filled from ADAPTIVE_PRESET
+    ad = compress.resolve_schedule(
+        compress.parse_args(base + ["--schedule", "adaptive"]))
+    P = compress.ADAPTIVE_PRESET
+    assert ad == (P["n_epochs"], P["p1_lr"], P["p1_samples"], P["p1_stop"],
+                  P["ft_stop"], P["fused_steps"])
+    # the measured round-4 operating point (docs/SCHEDULE.md) — a change
+    # here is a deliberate re-tune, not drift
+    assert ad[0] == 15000 and ad[2] == 3 and ad[5] == 8
+    assert ad[1] == (6e-4, 2e-5)
+
+    # explicit flags beat the preset
+    ov = compress.resolve_schedule(compress.parse_args(
+        base + ["--schedule", "adaptive", "--n_epochs", "7000",
+                "--p1_samples", "5", "--fused_steps", "1"]))
+    assert ov[0] == 7000 and ov[2] == 5 and ov[5] == 1
+    assert ov[1] == P["p1_lr"]  # untouched knobs still from the preset
