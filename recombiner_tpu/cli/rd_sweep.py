@@ -224,6 +224,11 @@ def main(argv=None):
                 em_iter_offset=done,
                 schedule_total=args.n_em_iters,
             )
+            sel = (res.controller or {}).get("selected")
+            if sel:
+                print(f"  rate_select: EM {sel['em_iter']} state selected "
+                      f"(realized {sel['realized']:.3f} vs final "
+                      f"{sel['final_realized']:.3f})", flush=True)
             art = build_prior_artifact(res.state, res.priors, res.kl_beta, cfg,
                                        codebook_seed=args.seed)
             if args.save_prior_dir is not None:

@@ -409,6 +409,7 @@ def em_train(
     controller: Optional[dict] = None,
     em_iter_offset: int = 0,
     schedule_total: Optional[int] = None,
+    rate_select: bool = True,
 ) -> EMResult:
     """The full EM / coordinate-ascent driver (main_prior_training.py:105-341).
 
@@ -443,6 +444,20 @@ def em_train(
     (realized_bitrate); decoupling its cadence from ``checkpoint_every``
     keeps em_chunk=1 (the audio compile-shape workaround) from paying a full
     greedy grouping every iteration (ADVICE r3).
+
+    ``rate_select`` (default on with rate_control): the KL oscillates with
+    the beta annealer inside the frozen window, and at coarse rate quanta
+    (one 16-bit w-group = 0.32 kbps at audio-5.17 geometry) that micro-drift
+    crosses a greedy packing boundary — the round-4 5.17 run probed 5.088
+    for 400+ iters and then LANDED at 5.408 (+4.6 %%) because the final
+    state is past the last probe (docs/rd_full_audio_r4.log). With
+    selection, every probe whose |realized - target| ties-or-beats the best
+    so far snapshots the state (host copy — same traffic class as the
+    probe's posterior fetch), the FINAL state is probed too, and the
+    returned EMResult carries whichever realizes the rate nearest the
+    target (ties prefer later = more converged). ``controller["selected"]``
+    records the choice. The returned leaves are host numpy when a snapshot
+    wins; downstream consumers (build_prior_artifact) fetch to host anyway.
     """
     train_size = X.shape[0]
     base_min, base_max = cfg.bits_budget(max_bitrate)
@@ -474,6 +489,8 @@ def em_train(
     beta_arr = jnp.float32(kl_beta)
     done = 0
     next_probe = 0  # local `done` value at/after which the next probe runs
+    best_err = float("inf")  # rate_select: best probed |realized - target|
+    best_snapshot = None  # (state, priors, kl_beta, em_iter, realized)
     chunk = max(int(checkpoint_every), 1)
     while done < n_em_iters:
         # first EM iteration runs first_epochs (main_prior_training.py:106),
@@ -539,6 +556,19 @@ def em_train(
                     )
                 history[-1]["realized_bitrate"] = realized
                 history[-1]["budget_aim"] = aim
+                if rate_select:
+                    err = abs(realized - max_bitrate)
+                    if err <= best_err + 1e-12:
+                        from recombiner_tpu.parallel.launch import fetch_global
+
+                        best_err = err
+                        best_snapshot = (
+                            jax.tree_util.tree_map(fetch_global, state),
+                            jax.tree_util.tree_map(fetch_global, priors),
+                            kl_beta,
+                            global_done,
+                            realized,
+                        )
 
         controller = {"aim": aim, "in_window": in_window, "seen_above": seen_above}
         last = done >= n_em_iters
@@ -548,6 +578,22 @@ def em_train(
             checkpoint_fn(done - 1, state, priors, kl_beta, controller)
         if last:
             break
+
+    if rate_control and rate_select and best_snapshot is not None:
+        # the final state sits PAST the last probe — probe it too, and return
+        # whichever state realizes the rate nearest the target (final wins
+        # ties: it is the most converged)
+        final_realized = realized_bitrate(state, priors, cfg)
+        history[-1]["final_realized_bitrate"] = final_realized
+        if best_err + 1e-12 < abs(final_realized - max_bitrate):
+            s_state, s_priors, s_beta, s_iter, s_realized = best_snapshot
+            controller["selected"] = {
+                "em_iter": int(s_iter),
+                "realized": float(s_realized),
+                "final_realized": float(final_realized),
+            }
+            return EMResult(state=s_state, priors=s_priors, kl_beta=s_beta,
+                            elbo_history=history, controller=controller)
 
     return EMResult(state=state, priors=priors, kl_beta=kl_beta,
                     elbo_history=history, controller=controller)

@@ -300,3 +300,67 @@ def test_em_iters_matches_per_iter_loop():
     np.testing.assert_allclose(
         np.asarray(priors_a.w.scale), np.asarray(priors_b.w.scale), rtol=1e-6)
     assert float(beta_b) == pytest.approx(beta_a, rel=1e-6)
+
+
+def test_rate_select_returns_nearest_probed_state(monkeypatch):
+    """Terminal rate selection (VERDICT r3 next #6): when the final EM state
+    realizes a WORSE rate than an earlier probe (the KL micro-drift across a
+    packing boundary that landed the round-4 audio run at +4.6%), em_train
+    must return the probed state nearest the target, and say so in
+    controller['selected']."""
+    import recombiner_tpu.priors.trainer as trainer_mod
+
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=5)
+    target = 30.0
+    # quantized plant: the 2nd engaged probe hits the target exactly, later
+    # probes and the final state sit one quantum above
+    rates = [30.32, 30.0, 30.32, 30.32, 30.32, 30.32, 30.32]
+    captured = []
+
+    def fake_realized(state, priors, cfg_):
+        captured.append(np.asarray(state.w.loc).copy())
+        return rates[len(captured) - 1]
+
+    monkeypatch.setattr(trainer_mod, "realized_bitrate", fake_realized)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y),
+        max_bitrate=target, n_em_iters=6, first_epochs=10, later_epochs=5,
+        lr=2e-3, checkpoint_every=1, probe_every=1, rate_control=True,
+    )
+    sel = res.controller.get("selected")
+    assert sel is not None, "selection must fire when the final probe is worse"
+    assert sel["realized"] == pytest.approx(30.0)
+    assert sel["final_realized"] == pytest.approx(30.32)
+    # the returned state IS the snapshot taken at the winning probe
+    best_call = rates.index(30.0)
+    np.testing.assert_allclose(
+        np.asarray(res.state.w.loc), captured[best_call], rtol=0, atol=0)
+    # the final-state probe is recorded on the last history record (no extra
+    # record: consumers read elbo_history[-1]["mse"])
+    assert res.elbo_history[-1]["final_realized_bitrate"] == pytest.approx(30.32)
+    assert len(res.elbo_history) == 6
+
+
+def test_rate_select_keeps_final_state_when_it_is_best(monkeypatch):
+    """No selection when the final state ties or beats every probe: the most
+    converged state must win ties."""
+    import recombiner_tpu.priors.trainer as trainer_mod
+
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=5)
+    calls = []
+
+    def fake_realized(state, priors, cfg_):
+        calls.append(np.asarray(state.w.loc).copy())
+        return 30.0  # every probe (and the final state) realizes the target
+
+    monkeypatch.setattr(trainer_mod, "realized_bitrate", fake_realized)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y),
+        max_bitrate=30.0, n_em_iters=6, first_epochs=10, later_epochs=5,
+        lr=2e-3, checkpoint_every=1, probe_every=1, rate_control=True,
+    )
+    assert "selected" not in res.controller
+    # final state returned as-is (device arrays, not the host snapshot)
+    np.testing.assert_allclose(np.asarray(res.state.w.loc), calls[-1])
