@@ -42,6 +42,10 @@ PRIORS = {
     "audio_mini": "docs/schedule_priors/PRIOR_rd_audio_mini_bitrate=2.npz",
 }
 N_OPT = 30000
+# the reference's fixed phase-1 budget (main_compression.py:148) — the base
+# for proportional finetune scaling under --n_opt. N_OPT itself is mutated
+# by --n_opt in main(), so it must NOT be used as the scaling base.
+N_OPT_REFERENCE = 30000
 
 
 def load_shared(n_images: int, geometry: str = "cifar"):
@@ -56,6 +60,25 @@ def load_shared(n_images: int, geometry: str = "cifar"):
     # are generator-prefix-stable
     X, Y = synthetic_dataset(art.config, n_images, seed=43)
     return art, X, Y
+
+
+def _ft_overrides(codec, n_opt, ft_epochs):
+    """Match run_torch's finetune budgets. --ft_epochs: one explicit value
+    for every level. Otherwise, when a reduced matched schedule is requested
+    (--n_opt), scale the reference budgets proportionally exactly as
+    run_torch does (w: max(n_opt/n, 50); h/hh: max(15000*(n_opt/30000)/n,
+    20)) — without this the ours side would keep the full 30000-based
+    budgets and the 'matched' comparison would be lopsided."""
+    if ft_epochs is not None:
+        return {k: ft_epochs for k in ("w", "h", "hh")}
+    if n_opt is None:
+        return None
+    ovr = {"w": max(n_opt // int(codec.w.n_groups), 50)}
+    if codec.h is not None:
+        h_budget = int(15000 * n_opt / N_OPT_REFERENCE)
+        ovr["h"] = max(h_budget // int(codec.h.n_groups), 20)
+        ovr["hh"] = max(h_budget // int(codec.hh.n_groups), 20)
+    return ovr
 
 
 def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
@@ -127,8 +150,7 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         fused_steps=fused_steps,
         finetune_lr=finetune_lr,
         finetune_lr_schedule=finetune_lr_schedule,
-        finetune_overrides=(None if ft_epochs is None
-                            else {k: ft_epochs for k in ("w", "h", "hh")}),
+        finetune_overrides=_ft_overrides(codec, n_opt, ft_epochs),
         **resume,
     )
     wall = time.perf_counter() - t0
@@ -242,7 +264,7 @@ def run_torch(art, X, Y, out_path: str, seed: int = 42,
     # audio-geometry torch encodes cost ~8 h CPU at the full schedule)
     n1 = n_opt or N_OPT
     n_ft = max(n1 // int(n_groups), 50)
-    h_budget = int(15000 * n1 / N_OPT)
+    h_budget = int(15000 * n1 / N_OPT_REFERENCE)
     h_ft = max(h_budget // int(h_n), 20) if cfg.patch else None
     hh_ft = max(h_budget // int(hh_n), 20) if cfg.patch else None
     t0 = time.perf_counter()
