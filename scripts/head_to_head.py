@@ -62,23 +62,37 @@ def load_shared(n_images: int, geometry: str = "cifar"):
     return art, X, Y
 
 
+def matched_budgets(n1, n_w, n_h=None, n_hh=None):
+    """Per-group finetune budgets of the reference schedule
+    (main_compression.py:156-158: w max(30000/n, 50); h/hh
+    max(15000/n, 20)), scaled proportionally to a reduced matched phase-1
+    budget n1 (--n_opt). The ONE formula both sides of the head-to-head
+    use — a one-sided scaling bug here silently unlevels the comparison
+    (round-4 session 1 shipped exactly that: the torch side scaled h/hh
+    off the mutated N_OPT global instead of the 30000 reference base)."""
+    b = {"w": max(int(n1) // int(n_w), 50)}
+    if n_h is not None:
+        h_budget = int(15000 * n1 / N_OPT_REFERENCE)
+        b["h"] = max(h_budget // int(n_h), 20)
+        b["hh"] = max(h_budget // int(n_hh), 20)
+    return b
+
+
 def _ft_overrides(codec, n_opt, ft_epochs):
     """Match run_torch's finetune budgets. --ft_epochs: one explicit value
     for every level. Otherwise, when a reduced matched schedule is requested
-    (--n_opt), scale the reference budgets proportionally exactly as
-    run_torch does (w: max(n_opt/n, 50); h/hh: max(15000*(n_opt/30000)/n,
-    20)) — without this the ours side would keep the full 30000-based
-    budgets and the 'matched' comparison would be lopsided."""
+    (--n_opt), scale the reference budgets via matched_budgets — without
+    this the ours side would keep the full 30000-based budgets and the
+    'matched' comparison would be lopsided."""
     if ft_epochs is not None:
         return {k: ft_epochs for k in ("w", "h", "hh")}
     if n_opt is None:
         return None
-    ovr = {"w": max(n_opt // int(codec.w.n_groups), 50)}
-    if codec.h is not None:
-        h_budget = int(15000 * n_opt / N_OPT_REFERENCE)
-        ovr["h"] = max(h_budget // int(codec.h.n_groups), 20)
-        ovr["hh"] = max(h_budget // int(codec.hh.n_groups), 20)
-    return ovr
+    return matched_budgets(
+        n_opt, codec.w.n_groups,
+        codec.h.n_groups if codec.h is not None else None,
+        codec.hh.n_groups if codec.h is not None else None,
+    )
 
 
 def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
@@ -263,10 +277,9 @@ def run_torch(art, X, Y, out_path: str, seed: int = 42,
     # proportionally when a reduced matched schedule is requested (--n_opt:
     # audio-geometry torch encodes cost ~8 h CPU at the full schedule)
     n1 = n_opt or N_OPT
-    n_ft = max(n1 // int(n_groups), 50)
-    h_budget = int(15000 * n1 / N_OPT_REFERENCE)
-    h_ft = max(h_budget // int(h_n), 20) if cfg.patch else None
-    hh_ft = max(h_budget // int(hh_n), 20) if cfg.patch else None
+    b = matched_budgets(n1, n_groups, h_n if cfg.patch else None,
+                        hh_n if cfg.patch else None)
+    n_ft, h_ft, hh_ft = b["w"], b.get("h"), b.get("hh")
     t0 = time.perf_counter()
     m.optimize_posteriors(x, y, n_epochs=n1, lr=2e-4, verbose=1)
     m.compress_posteriors(
