@@ -48,9 +48,38 @@ def parse_args(argv=None):
     p.add_argument("--n_em_iters", type=int, default=550)
     p.add_argument("--first_epochs", type=int, default=200)
     p.add_argument("--later_epochs", type=int, default=100)
-    p.add_argument("--n_encode_epochs", type=int, default=30000)
+    p.add_argument("--n_encode_epochs", type=int, default=None,
+                   help="phase-1 posterior-optimization epochs (default: the "
+                        "reference's 30000, main_compression.py:148; the "
+                        "adaptive preset uses 15000 with cosine lr)")
     p.add_argument("--finetune_epochs", type=int, default=None)
     p.add_argument("--sample_size", type=int, default=5)
+    p.add_argument("--schedule", default="reference",
+                   choices=("reference", "adaptive"),
+                   help="encode-schedule preset, same semantics as "
+                        "cli/compress: 'adaptive' = 15k cosine-lr S=3 "
+                        "phase 1 + plateau-stopped finetunes + fused coding "
+                        "chunks (docs/SCHEDULE.md — matched RD at ~0.53x the "
+                        "reference epochs on cifar); the explicit knobs "
+                        "below override preset fields")
+    p.add_argument("--p1_stop", type=float, nargs=3, default=None,
+                   metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
+                   help="adaptive phase-1 stop spec (see --schedule)")
+    p.add_argument("--ft_stop", type=float, nargs=3, default=None,
+                   metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
+                   help="adaptive per-finetune stop spec")
+    p.add_argument("--p1_lr", type=float, nargs=2, default=None,
+                   metavar=("PEAK", "FLOOR"),
+                   help="phase-1 cosine lr schedule PEAK->FLOOR over the "
+                        "phase-1 epochs (reference: constant --lr)")
+    p.add_argument("--p1_samples", type=int, default=None,
+                   help="phase-1 MC sample size (finetunes keep "
+                        "--sample_size; S=3 measured RD-neutral on cifar)")
+    p.add_argument("--p1_monitor", default="mse", choices=("mse", "loss"),
+                   help="statistic the adaptive phase-1 stop watches")
+    p.add_argument("--fused_steps", type=int, default=None,
+                   help="coding-phase group steps + finetunes compiled per "
+                        "program (adaptive preset: 8)")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--out", default="rd_curve.json")
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
@@ -108,6 +137,22 @@ def parse_args(argv=None):
                         "exact-f32/3-pass (measured RD-neutral, +15-31%% epoch "
                         "cost); 'high'/'highest' = process-global.")
     return p.parse_args(argv)
+
+
+def resolve_schedule_args(args):
+    """Resolve the encode-schedule knobs through cli/compress's preset
+    logic — ONE preset definition shared by every CLI. Returns
+    (n_epochs, p1_lr, p1_samples, p1_stop, ft_stop, fused_steps)."""
+    from types import SimpleNamespace
+
+    from recombiner_tpu.cli.compress import resolve_schedule
+
+    return resolve_schedule(SimpleNamespace(
+        schedule=args.schedule, n_epochs=args.n_encode_epochs,
+        p1_lr=args.p1_lr, p1_samples=args.p1_samples,
+        p1_stop=args.p1_stop, ft_stop=args.ft_stop,
+        fused_steps=args.fused_steps,
+    ))
 
 
 def main(argv=None):
@@ -297,11 +342,19 @@ def main(argv=None):
         state = shard_rows(state, mesh)
         if resume.get("phase1_opt_leaves") is not None:
             resume["phase1_opt_leaves"] = shard_rows(resume["phase1_opt_leaves"], mesh)
+        (n_encode_epochs, p1_lr, p1_samples, p1_stop, ft_stop,
+         fused_steps) = resolve_schedule_args(args)
         enc = compress(
             codec, state, Xte_s, Yte_s, cfg,
             jax.random.key(args.seed + 1),
-            n_optimize_epochs=args.n_encode_epochs, lr=args.lr,
+            n_optimize_epochs=n_encode_epochs, lr=args.lr,
             sample_size=args.sample_size,
+            phase1_stop=tuple(p1_stop) if p1_stop is not None else None,
+            finetune_stop=tuple(ft_stop) if ft_stop is not None else None,
+            phase1_monitor=args.p1_monitor,
+            phase1_lr=tuple(p1_lr) if p1_lr else None,
+            phase1_sample_size=p1_samples,
+            fused_steps=fused_steps,
             finetune_overrides=(
                 None if args.finetune_epochs is None
                 else {k: args.finetune_epochs for k in ("w", "h", "hh")}

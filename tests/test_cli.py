@@ -215,3 +215,25 @@ def test_adaptive_schedule_preset_resolution():
                 "--p1_samples", "5", "--fused_steps", "1"]))
     assert ov[0] == 7000 and ov[2] == 5 and ov[5] == 1
     assert ov[1] == P["p1_lr"]  # untouched knobs still from the preset
+
+
+def test_rd_sweep_schedule_preset_matches_compress():
+    """rd_sweep resolves its --schedule knobs through cli/compress's ONE
+    preset definition; explicit rd_sweep flags override preset fields."""
+    from recombiner_tpu.cli import compress, rd_sweep
+
+    base = ["--dataset", "cifar", "--bitrates", "2"]
+    ref = rd_sweep.resolve_schedule_args(rd_sweep.parse_args(base))
+    assert ref == (30000, None, None, None, None, None)
+
+    ad = rd_sweep.resolve_schedule_args(
+        rd_sweep.parse_args(base + ["--schedule", "adaptive"]))
+    P = compress.ADAPTIVE_PRESET
+    assert ad == (P["n_epochs"], P["p1_lr"], P["p1_samples"],
+                  P["p1_stop"], P["ft_stop"], P["fused_steps"])
+
+    # explicit knobs beat the preset, others still fill from it
+    ov = rd_sweep.resolve_schedule_args(rd_sweep.parse_args(
+        base + ["--schedule", "adaptive", "--n_encode_epochs", "9000",
+                "--fused_steps", "4"]))
+    assert ov[0] == 9000 and ov[5] == 4 and ov[1] == P["p1_lr"]
