@@ -405,6 +405,11 @@ def main() -> None:
         art, X, Y, args.out, seed=args.enc_seed, n_opt=args.n_opt,
     ) if args.side == "torch" else run_ours(
         art, X, Y, args.out, state_path=args.state,
+        # n_opt must reach run_ours explicitly: the N_OPT global mutation
+        # above only scales phase 1 — _ft_overrides needs the value to
+        # scale the finetune budgets too (ours_audio_mini_s7_n3000.json
+        # rev 1 silently spent the FULL 59,930 finetune epochs without it)
+        n_opt=args.n_opt,
         seed=args.enc_seed, codebook=args.codebook,
         finetune_crn=args.finetune_crn,
         coding_precision=coding_precision,
