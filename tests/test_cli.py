@@ -237,3 +237,26 @@ def test_rd_sweep_schedule_preset_matches_compress():
         base + ["--schedule", "adaptive", "--n_encode_epochs", "9000",
                 "--fused_steps", "4"]))
     assert ov[0] == 9000 and ov[5] == 4 and ov[1] == P["p1_lr"]
+
+
+def test_rd_sweep_adaptive_schedule_end_to_end(tmp_path):
+    """--schedule adaptive drives the full adaptive encode path (cosine-lr
+    scanned phase 1, plateau-stopped finetunes, fused coding chunks) through
+    rd_sweep's compress() call — tiny knobs override the preset sizes."""
+    from recombiner_tpu.cli import rd_sweep
+
+    out = str(tmp_path / "rd.json")
+    points = rd_sweep.main(
+        [
+            "--dataset", "tiny", "--synthetic", "2", "--bitrates", "2.0",
+            "--n_em_iters", "2", "--first_epochs", "10", "--later_epochs", "5",
+            "--sample_size", "2", "--lr", "2e-3", "--out", out,
+            "--schedule", "adaptive", "--n_encode_epochs", "20",
+            "--p1_lr", "2e-3", "1e-4", "--p1_samples", "2",
+            "--p1_stop", "4", "1e-6", "8", "--ft_stop", "4", "1e-6", "4",
+            "--fused_steps", "2",
+        ]
+    )
+    assert len(points) == 1 and points[0]["actual_bitrate"] > 0
+    # the adaptive path reports epochs actually spent
+    assert points[0]["timings"]["phase1_epochs"] <= 20
