@@ -173,7 +173,11 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         "psnr": float(np.mean(res.distortion)),
         "bitrate_bpp": res.bitrate,
         "n_groups": n_groups,
-        "finetune_epochs": finetune_epochs(cfg, n_groups, "w"),
+        # per-w-group budget actually in force (override-aware; the true
+        # spend is timings.finetune_epochs)
+        "finetune_epochs": (
+            (_ft_overrides(codec, n_opt, ft_epochs) or {}).get("w")
+            or finetune_epochs(cfg, n_groups, "w")),
         "wall_s": round(wall, 1),
         "n_images": int(X.shape[0]),
         "timings": {k: (round(v, 1) if isinstance(v, float) else v)
