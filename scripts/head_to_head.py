@@ -78,15 +78,21 @@ def matched_budgets(n1, n_w, n_h=None, n_hh=None):
     return b
 
 
-def _ft_overrides(codec, n_opt, ft_epochs):
+def _ft_overrides(codec, n_opt, ft_epochs, finetune_stop=None):
     """Match run_torch's finetune budgets. --ft_epochs: one explicit value
     for every level. Otherwise, when a reduced matched schedule is requested
     (--n_opt), scale the reference budgets via matched_budgets — without
     this the ours side would keep the full 30000-based budgets and the
-    'matched' comparison would be lopsided."""
+    'matched' comparison would be lopsided.
+
+    EXCEPT when an adaptive --ft_stop is in force: then the budgets are
+    plateau-stop CEILINGS, and the preset's evidence base (docs/SCHEDULE.md)
+    used the reference 30000-based ceilings — scaling them by a reduced
+    --n_opt makes the ceilings bind before the stop fires and silently
+    clips quality (ADVICE r4, medium)."""
     if ft_epochs is not None:
         return {k: ft_epochs for k in ("w", "h", "hh")}
-    if n_opt is None:
+    if n_opt is None or finetune_stop is not None:
         return None
     return matched_budgets(
         n_opt, codec.w.n_groups,
@@ -164,20 +170,44 @@ def run_ours(art, X, Y, out_path: str, state_path: str | None = None,
         fused_steps=fused_steps,
         finetune_lr=finetune_lr,
         finetune_lr_schedule=finetune_lr_schedule,
-        finetune_overrides=_ft_overrides(codec, n_opt, ft_epochs),
+        finetune_overrides=_ft_overrides(codec, n_opt, ft_epochs, finetune_stop),
         **resume,
     )
     wall = time.perf_counter() - t0
+
+    # Decode-precision diagnostics (VERDICT r4 #1): render the SAME
+    # transmitted indices at exact f32 (the shipped canonical decode) AND at
+    # the ambient TPU default (bf16 passes — the function the coding-phase
+    # finetunes actually optimized through). A spread between the two decodes
+    # is precision co-adaptation; a spread between same-precision decode and
+    # the final encoder-internal forward would be an index/value bug.
+    from recombiner_tpu.coding.encoder import decode, predict as enc_predict
+
+    Xj = jnp.asarray(X)
+    y_hi = decode(codec, res.indices, Xj, cfg, precision="highest")
+    y_df = decode(codec, res.indices, Xj, cfg, precision=None)
+    y_int = enc_predict(codec, res.state, Xj, jax.random.key(0), cfg,
+                        sample_size=1)[:, 0]
+    psnr_hi = float(np.mean(metric(Y, np.asarray(y_hi), cfg.name)))
+    psnr_df = float(np.mean(metric(Y, np.asarray(y_df), cfg.name)))
+    psnr_int = float(np.mean(metric(Y, np.asarray(y_int), cfg.name)))
+
+    ovr = _ft_overrides(codec, n_opt, ft_epochs, finetune_stop)
     rec = {
         "side": "ours",
         "psnr": float(np.mean(res.distortion)),
+        "psnr_decode_f32": psnr_hi,
+        "psnr_decode_default": psnr_df,
+        "psnr_internal_final": psnr_int,
         "bitrate_bpp": res.bitrate,
         "n_groups": n_groups,
         # per-w-group budget actually in force (override-aware; the true
-        # spend is timings.finetune_epochs)
+        # spend is timings.finetune_epochs). 'is not None' check: an explicit
+        # --ft_epochs 0 must not fall through to the reference budget
+        # (ADVICE r4, low)
         "finetune_epochs": (
-            (_ft_overrides(codec, n_opt, ft_epochs) or {}).get("w")
-            or finetune_epochs(cfg, n_groups, "w")),
+            ovr["w"] if ovr is not None and "w" in ovr
+            else finetune_epochs(cfg, n_groups, "w")),
         "wall_s": round(wall, 1),
         "n_images": int(X.shape[0]),
         "timings": {k: (round(v, 1) if isinstance(v, float) else v)
