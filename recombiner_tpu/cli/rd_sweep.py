@@ -48,6 +48,18 @@ def parse_args(argv=None):
     p.add_argument("--n_em_iters", type=int, default=550)
     p.add_argument("--first_epochs", type=int, default=200)
     p.add_argument("--later_epochs", type=int, default=100)
+    p.add_argument("--em_schedule", default="reference",
+                   choices=("reference", "adaptive"),
+                   help="prior-training schedule preset: 'adaptive' stops EM "
+                        "early once the windowed mse plateaus AND the realized "
+                        "rate sits in the controller deadband "
+                        "(priors/trainer.resolve_em_schedule; --n_em_iters "
+                        "becomes a ceiling). 'reference' = the fixed "
+                        "550x(200/100) schedule (main_prior_training.py:106-107)")
+    p.add_argument("--em_stop", type=float, nargs=3, default=None,
+                   metavar=("WINDOW", "REL_TOL", "MIN_ITERS"),
+                   help="explicit adaptive EM stop spec (overrides "
+                        "--em_schedule's preset)")
     p.add_argument("--n_encode_epochs", type=int, default=None,
                    help="phase-1 posterior-optimization epochs (default: the "
                         "reference's 30000, main_compression.py:148; the "
@@ -254,8 +266,14 @@ def main(argv=None):
                                      done + em_iter + 1, controller=controller,
                                      schedule_total=args.n_em_iters)
 
+            from recombiner_tpu.priors.trainer import resolve_em_schedule
+
             res = em_train(
                 jax.random.key(args.seed + done), cfg, Xtr_s, Ytr_s,
+                em_stop=resolve_em_schedule(
+                    args.em_schedule,
+                    tuple(args.em_stop) if args.em_stop else None,
+                    args.n_em_iters),
                 max_bitrate=max_bitrate, n_em_iters=args.n_em_iters - done,
                 first_epochs=(args.first_epochs if done == 0 else args.later_epochs),
                 later_epochs=args.later_epochs,
@@ -269,6 +287,11 @@ def main(argv=None):
                 em_iter_offset=done,
                 schedule_total=args.n_em_iters,
             )
+            stp = (res.controller or {}).get("em_stop")
+            if stp:
+                print(f"  em_stop: plateau+rate-settled at EM "
+                      f"{stp['stopped_at']}/{stp['schedule']} "
+                      f"(last realized {stp['last_realized']})", flush=True)
             sel = (res.controller or {}).get("selected")
             if sel:
                 print(f"  rate_select: EM {sel['em_iter']} state selected "

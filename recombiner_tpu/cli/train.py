@@ -22,7 +22,7 @@ from recombiner_tpu.metrics import batch_psnr
 from recombiner_tpu.parallel.launch import is_primary, maybe_initialize_distributed
 from recombiner_tpu.parallel.mesh import make_mesh, shard_rows
 from recombiner_tpu.priors.artifact import build_prior_artifact
-from recombiner_tpu.priors.trainer import em_train, forward
+from recombiner_tpu.priors.trainer import em_train, forward, resolve_em_schedule
 
 
 def parse_args(argv=None):
@@ -42,6 +42,17 @@ def parse_args(argv=None):
     p.add_argument("--n_em_iters", type=int, default=550)
     p.add_argument("--first_epochs", type=int, default=200)
     p.add_argument("--later_epochs", type=int, default=100)
+    p.add_argument("--em_schedule", default="reference",
+                   choices=("reference", "adaptive"),
+                   help="prior-training schedule preset: 'adaptive' stops EM "
+                        "early once the windowed mse plateaus AND the realized "
+                        "rate sits in the controller deadband "
+                        "(priors/trainer.resolve_em_schedule; --n_em_iters "
+                        "becomes a ceiling)")
+    p.add_argument("--em_stop", type=float, nargs=3, default=None,
+                   metavar=("WINDOW", "REL_TOL", "MIN_ITERS"),
+                   help="explicit adaptive EM stop spec (overrides "
+                        "--em_schedule's preset)")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--n_devices", type=int, default=None, help="data-parallel device count (default: all)")
     p.add_argument("--rate_control", action=argparse.BooleanOptionalAction, default=True,
@@ -120,7 +131,15 @@ def main(argv=None):
         checkpoint_fn=checkpoint_fn,
         log_fn=log_fn,
         rate_control=args.rate_control,
+        em_stop=resolve_em_schedule(
+            args.em_schedule,
+            tuple(args.em_stop) if args.em_stop else None,
+            args.n_em_iters),
     )
+    stp = (res.controller or {}).get("em_stop")
+    if stp:
+        print(f"em_stop: plateau+rate-settled at EM {stp['stopped_at']}/"
+              f"{stp['schedule']}", flush=True)
     import json
 
     with open(history_path, "w") as f:

@@ -387,6 +387,33 @@ class EMResult:
     controller: Optional[dict] = None  # rate-controller state (aim/in_window/seen_above)
 
 
+def resolve_em_schedule(
+    em_schedule: Optional[str],
+    em_stop: Optional[tuple],
+    n_em_iters: int,
+) -> Optional[Tuple[int, float, int]]:
+    """Resolve the EM-schedule preset into an ``em_stop`` spec
+    (window_iters, rel_tol, min_iters) — the prior-training analogue of the
+    encode side's ``--schedule adaptive`` (cli/compress.resolve_schedule).
+
+    An explicit ``em_stop`` always wins. ``em_schedule='adaptive'`` resolves
+    to the shipped preset: a 40-iteration plateau window at 1% relative
+    mse tolerance, floored at a quarter of the requested schedule — the
+    convergence traces (docs/rd_full_audio_r4.log: mse flat and rate in the
+    deadband from ~EM 130/550) show the reference's fixed 550x(200/100)
+    schedule (main_prior_training.py:106-107) spends most of its wall after
+    the operating point has settled. n_em_iters becomes a CEILING.
+    """
+    if em_stop is not None:
+        w, rtol, mi = em_stop
+        return (int(w), float(rtol), int(mi))
+    if em_schedule in (None, "reference"):
+        return None
+    if em_schedule == "adaptive":
+        return (40, 0.01, max(100, int(round(0.25 * n_em_iters))))
+    raise ValueError(f"unknown em_schedule {em_schedule!r}")
+
+
 def em_train(
     key: jax.Array,
     cfg: ModalityConfig,
@@ -410,6 +437,7 @@ def em_train(
     em_iter_offset: int = 0,
     schedule_total: Optional[int] = None,
     rate_select: bool = True,
+    em_stop: Optional[Tuple[int, float, int]] = None,
 ) -> EMResult:
     """The full EM / coordinate-ascent driver (main_prior_training.py:105-341).
 
@@ -444,6 +472,18 @@ def em_train(
     (realized_bitrate); decoupling its cadence from ``checkpoint_every``
     keeps em_chunk=1 (the audio compile-shape workaround) from paying a full
     greedy grouping every iteration (ADVICE r3).
+
+    ``em_stop`` (window_iters, rel_tol, min_iters): adaptive EM early stop
+    (the ``--em_schedule adaptive`` preset, resolve_em_schedule). At every
+    chunk boundary past ``min_iters`` GLOBAL iterations, stop when BOTH
+    (a) the windowed mean mse improved by less than rel_tol relative over
+    the last window vs the window before it, and (b) with rate_control on,
+    the most recent realized-rate probe sits inside the controller deadband
+    (max(rate_tolerance*target, half a group quantum) — aim_update's own
+    settled condition). ``n_em_iters`` becomes a ceiling; the rate_select
+    terminal nearest-rate selection still runs on the stopped state. The
+    plateau window uses THIS call's history, so a resumed run re-accumulates
+    up to 2*window iterations before it can stop again.
 
     ``rate_select`` (default on with rate_control): the KL oscillates with
     the beta annealer inside the frozen window, and at coarse rate quanta
@@ -492,6 +532,8 @@ def em_train(
     best_err = float("inf")  # rate_select: best probed |realized - target|
     best_snapshot = None  # (state, priors, kl_beta, em_iter, realized)
     chunk = max(int(checkpoint_every), 1)
+    last_realized = None  # most recent realized-rate probe (em_stop gate)
+    early_stop = False
     while done < n_em_iters:
         # first EM iteration runs first_epochs (main_prior_training.py:106),
         # as its own 1-iter program; later chunks are `chunk` iters each
@@ -550,6 +592,7 @@ def em_train(
             if in_window and done < n_em_iters and done >= next_probe:
                 next_probe = done + max(int(probe_every), 1)
                 realized = realized_bitrate(state, priors, cfg)
+                last_realized = realized
                 if global_done < 0.9 * total:
                     aim = aim_update(
                         aim, realized, max_bitrate, rate_tolerance, quantum
@@ -570,8 +613,30 @@ def em_train(
                             realized,
                         )
 
+        if em_stop is not None and not early_stop:
+            w_it, rtol, min_it = em_stop
+            if global_done >= min_it and len(history) >= 2 * w_it:
+                mh = [h["mse"] for h in history]
+                prev_m = float(np.mean(mh[-2 * w_it:-w_it]))
+                cur_m = float(np.mean(mh[-w_it:]))
+                plateau = (prev_m - cur_m) <= rtol * abs(prev_m)
+                rate_ok = (not rate_control) or (
+                    last_realized is not None
+                    and abs(last_realized - max_bitrate)
+                    <= max(rate_tolerance * max_bitrate, 0.5 * quantum)
+                )
+                if plateau and rate_ok:
+                    early_stop = True
+                    history[-1]["em_early_stop"] = global_done
+
         controller = {"aim": aim, "in_window": in_window, "seen_above": seen_above}
-        last = done >= n_em_iters
+        if early_stop:
+            controller["em_stop"] = {
+                "stopped_at": int(em_iter_offset + done),
+                "schedule": int(total),
+                "last_realized": last_realized,
+            }
+        last = done >= n_em_iters or early_stop
         if log_fn is not None:
             log_fn(done - 1, history[-1], state, priors)
         if checkpoint_fn is not None:

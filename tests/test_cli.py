@@ -260,3 +260,23 @@ def test_rd_sweep_adaptive_schedule_end_to_end(tmp_path):
     assert len(points) == 1 and points[0]["actual_bitrate"] > 0
     # the adaptive path reports epochs actually spent
     assert points[0]["timings"]["phase1_epochs"] <= 20
+
+
+def test_rd_sweep_em_schedule_adaptive(tmp_path):
+    """--em_schedule adaptive / --em_stop thread through rd_sweep to
+    em_train: with a permissive explicit spec and no rate control the EM
+    loop stops before the --n_em_iters ceiling (priors/trainer.em_stop)."""
+    from recombiner_tpu.cli import rd_sweep
+
+    out = str(tmp_path / "rd.json")
+    points = rd_sweep.main(
+        [
+            "--dataset", "tiny", "--synthetic", "2", "--bitrates", "2.0",
+            "--n_em_iters", "12", "--first_epochs", "5", "--later_epochs", "5",
+            "--n_encode_epochs", "10", "--finetune_epochs", "1",
+            "--sample_size", "2", "--lr", "2e-3", "--out", out,
+            "--em_schedule", "adaptive", "--em_stop", "2", "10.0", "3",
+            "--no-rate_control", "--em_chunk", "1",
+        ]
+    )
+    assert len(points) == 1 and points[0]["actual_bitrate"] > 0

@@ -364,3 +364,90 @@ def test_rate_select_keeps_final_state_when_it_is_best(monkeypatch):
     assert "selected" not in res.controller
     # final state returned as-is (device arrays, not the host snapshot)
     np.testing.assert_allclose(np.asarray(res.state.w.loc), calls[-1])
+
+
+def test_resolve_em_schedule():
+    from recombiner_tpu.priors.trainer import resolve_em_schedule
+
+    # reference (or None) -> no stop
+    assert resolve_em_schedule("reference", None, 550) is None
+    assert resolve_em_schedule(None, None, 550) is None
+    # adaptive preset: 40-iter window, 1% rel tol, quarter-schedule floor
+    assert resolve_em_schedule("adaptive", None, 550) == (40, 0.01, 138)
+    # the floor never drops below 100
+    assert resolve_em_schedule("adaptive", None, 100) == (40, 0.01, 100)
+    # explicit spec wins over the preset, cast to (int, float, int)
+    assert resolve_em_schedule("adaptive", (5.0, 0.5, 7.0), 550) == (5, 0.5, 7)
+    with pytest.raises(ValueError):
+        resolve_em_schedule("bogus", None, 550)
+
+
+def test_em_stop_plateau_without_rate_control():
+    """em_stop fires at the first chunk boundary where BOTH min_iters and
+    2*window of history exist and the windowed mse 'improvement' is within
+    rel_tol (a huge rel_tol makes any trajectory count as plateaued);
+    n_em_iters is then a ceiling, not the spend."""
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=5)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y),
+        max_bitrate=30.0, n_em_iters=20, first_epochs=5, later_epochs=5,
+        lr=2e-3, checkpoint_every=1, rate_control=False,
+        em_stop=(2, 10.0, 3),
+    )
+    stp = res.controller.get("em_stop")
+    assert stp is not None
+    # window=2 needs 4 records; min_iters=3 is already met then
+    assert stp["stopped_at"] == 4
+    assert len(res.elbo_history) == 4
+    assert res.elbo_history[-1]["em_early_stop"] == 4
+
+
+def test_em_stop_blocked_when_mse_still_improving():
+    """An impossible rel_tol (negative) means the plateau test never passes:
+    the run must spend the full ceiling."""
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=5)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y),
+        max_bitrate=30.0, n_em_iters=8, first_epochs=5, later_epochs=5,
+        lr=2e-3, checkpoint_every=1, rate_control=False,
+        em_stop=(2, -10.0, 3),
+    )
+    assert "em_stop" not in res.controller
+    assert len(res.elbo_history) == 8
+
+
+def test_em_stop_requires_rate_in_deadband(monkeypatch):
+    """With rate_control on, the plateau alone must NOT stop the run: the
+    latest realized-rate probe has to sit inside the controller deadband
+    (max(tol*target, quantum/2)). Outside it the run spends the ceiling;
+    on-target it stops early."""
+    import recombiner_tpu.priors.trainer as trainer_mod
+    from recombiner_tpu.priors.trainer import rate_quantum
+
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=5)
+    target = 30.0
+    q = rate_quantum(cfg)
+    far = target + max(0.015 * target, 0.5 * q) * 4
+
+    def run(rate):
+        monkeypatch.setattr(
+            trainer_mod, "realized_bitrate", lambda s, p, c: rate)
+        return em_train(
+            jax.random.key(0), cfg, jnp.array(X), jnp.array(Y),
+            max_bitrate=target, n_em_iters=12, first_epochs=5,
+            later_epochs=5, lr=2e-3, checkpoint_every=1, probe_every=1,
+            rate_control=True, em_stop=(2, 10.0, 3),
+        )
+
+    res_far = run(far)
+    assert "em_stop" not in res_far.controller
+    assert len(res_far.elbo_history) == 12
+
+    res_near = run(target)
+    stp = res_near.controller.get("em_stop")
+    assert stp is not None
+    assert stp["last_realized"] == pytest.approx(target)
+    assert len(res_near.elbo_history) < 12
