@@ -120,8 +120,40 @@ N_OVERHEAD_GROUPS = 16
 # reference schedule, both at their shipped matched-RD operating points.
 ADAPTIVE_P1_EPOCHS = 15000  # cosine lr 6e-4 -> 2e-5 (vs 30000 @ const 2e-4)
 ADAPTIVE_P1_SAMPLES = 3  # phase-1 MC samples (finetunes keep S=5); RD-neutral
-ADAPTIVE_FT_FRACTION = 0.554  # measured ft_stop(40,1e-3,80) spend, 4 seeds
+ADAPTIVE_FT_FRACTION = 0.554  # 8-image fallback, superseded by MEASURED_500
 ADAPTIVE_FUSED_K = 8  # group steps + finetunes per compiled program
+
+# End-to-end measured 500-image `--schedule adaptive` encode at the headline
+# shape (VERDICT r4 weak #2: the 0.716 dp/s headline was synthesized from
+# per-epoch rates x an 8-image-measured finetune-spend fraction). The round-5
+# TPU queue runs `cli/rd_sweep --schedule adaptive --synthetic 500
+# --n_test 500 --load_prior_dir docs/schedule_priors` and copies the record
+# here; when present, the HEADLINE becomes the measured wall of that run and
+# the finetune-spend fraction is the one observed AT SHAPE. Missing file =>
+# the 8-image-fraction synthesis, labeled in details.headline_provenance.
+MEASURED_500_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "adaptive500.json")
+
+
+def load_measured_500():
+    """Measured 500-row adaptive encode record (docs/adaptive500.json =
+    the first RD point of the rd_sweep output) or None."""
+    try:
+        with open(MEASURED_500_PATH) as f:
+            rec = json.load(f)
+        point = rec["points"][0] if "points" in rec else rec
+        t = point["timings"]
+        return {
+            "n_rows": int(point.get("n_rows", N_IMAGES)),
+            "wall_s": float(t["optimize_s"]) + float(t["code_s"]),
+            "phase1_epochs": int(t["phase1_epochs"]),
+            "finetune_epochs": int(t["finetune_epochs"]),
+            "finetune_budget": int(t.get("finetune_budget", 0)) or None,
+            "psnr": float(point["distortion_mean"]),
+            "bpp": float(point["actual_bitrate"]),
+        }
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
 
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 480.0))
 T_START = time.perf_counter()
@@ -133,13 +165,6 @@ def elapsed() -> float:
 
 def full_schedule_epochs(n_groups: int) -> int:
     return N_OPT_EPOCHS + n_groups * max(N_OPT_EPOCHS // n_groups, 50)
-
-
-def adaptive_schedule_epochs(n_groups: int) -> int:
-    """Total epochs of the shipped adaptive schedule: 15k cosine phase 1 +
-    the measured plateau-stop spend of the reference finetune budgets."""
-    ft_budget = n_groups * max(N_OPT_EPOCHS // n_groups, 50)
-    return ADAPTIVE_P1_EPOCHS + int(round(ft_budget * ADAPTIVE_FT_FRACTION))
 
 
 def model_flops_per_encode_epoch(cfg, R: int, S: int):
@@ -241,14 +266,26 @@ def main() -> None:
         # overhead divides by K; the A* step itself (step_s) still runs
         # once per group inside the fused program.
         epoch_s3 = meas.get("epoch_s3_s", FALLBACK["epoch_s3_s"])
-        adaptive_epochs = adaptive_schedule_epochs(n_groups)
-        adaptive_ft_epochs = adaptive_epochs - ADAPTIVE_P1_EPOCHS
+        m500 = load_measured_500()
+        if m500 is not None and m500["finetune_budget"]:
+            ft_fraction = m500["finetune_epochs"] / m500["finetune_budget"]
+        else:
+            ft_fraction = ADAPTIVE_FT_FRACTION
+        ft_budget = n_groups * max(N_OPT_EPOCHS // n_groups, 50)
+        adaptive_ft_epochs = int(round(ft_budget * ft_fraction))
+        adaptive_epochs = ADAPTIVE_P1_EPOCHS + adaptive_ft_epochs
         adaptive_total_s = (
             ADAPTIVE_P1_EPOCHS * epoch_s3
             + adaptive_ft_epochs * epoch_s
             + n_groups * (step_s + group_overhead_s / ADAPTIVE_FUSED_K)
         )
-        ours_dp_s = N_IMAGES / adaptive_total_s
+        if m500 is not None:
+            # HEADLINE = the measured end-to-end wall of the logged 500-row
+            # `--schedule adaptive` encode (incl. its compiles/dispatch),
+            # reproducible from docs/adaptive500.json
+            ours_dp_s = m500["n_rows"] / m500["wall_s"]
+        else:
+            ours_dp_s = N_IMAGES / adaptive_total_s
 
         # derived A100 best case for the torch reference (docstring):
         # f32 matmuls at FP32 peak, convs at TF32 peak, coder free
@@ -301,9 +338,21 @@ def main() -> None:
                 "p1_epochs": ADAPTIVE_P1_EPOCHS,
                 "p1_lr": "cosine 6e-4 -> 2e-5",
                 "p1_samples": ADAPTIVE_P1_SAMPLES,
-                "ft_fraction_measured": ADAPTIVE_FT_FRACTION,
+                "ft_fraction": round(ft_fraction, 4),
+                "ft_fraction_provenance": (
+                    "measured at the 500-row headline shape "
+                    "(docs/adaptive500.json)" if m500 is not None
+                    else "8-image h2h runs (fallback; no 500-row record)"),
                 "fused_steps": ADAPTIVE_FUSED_K,
             },
+            "headline_provenance": (
+                "MEASURED end-to-end 500-row --schedule adaptive encode wall "
+                f"({m500['wall_s']:.1f} s, {m500['psnr']:.3f} dB @ "
+                f"{m500['bpp']:.4f} bpp — docs/adaptive500.json); "
+                "derived warm steady-state projection in "
+                "adaptive_encode_wall_s" if m500 is not None else
+                "derived from measured per-epoch rates x 8-image finetune-"
+                "spend fraction (no 500-row record on disk)"),
             "reference_schedule_dp_per_sec": round(ref_sched_dp_s, 4),
             "epoch_s": round(epoch_s, 5),
             "epoch_s3_s": round(epoch_s3, 5),

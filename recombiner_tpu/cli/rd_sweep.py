@@ -394,6 +394,7 @@ def main(argv=None):
             "target_bitrate": max_bitrate,
             "actual_bitrate": enc.bitrate,
             "distortion_mean": float(np.mean(enc.distortion)),
+            "n_rows": int(Xte.shape[0]),
             "n_groups": {n: int(codec.meta(n).n_groups) for n in codec.level_names},
             "timings": enc.timings,
         }

@@ -478,9 +478,13 @@ def em_train(
     chunk boundary past ``min_iters`` GLOBAL iterations, stop when BOTH
     (a) the windowed mean mse improved by less than rel_tol relative over
     the last window vs the window before it, and (b) with rate_control on,
-    the most recent realized-rate probe sits inside the controller deadband
-    (max(rate_tolerance*target, half a group quantum) — aim_update's own
-    settled condition). ``n_em_iters`` becomes a ceiling; the rate_select
+    the rate has SETTLED: either the most recent realized-rate probe sits
+    inside the controller deadband (max(rate_tolerance*target, half a group
+    quantum) — aim_update's own hold condition), or >=3 consecutive probes
+    realized the same quantized rate with the aim no longer moving (the
+    controller equilibrium when no achievable rate exists inside the
+    deadband, e.g. cifar@2.0 bpp whose nearest achievable rate is 1.953).
+    ``n_em_iters`` becomes a ceiling; the rate_select
     terminal nearest-rate selection still runs on the stopped state. The
     plateau window uses THIS call's history, so a resumed run re-accumulates
     up to 2*window iterations before it can stop again.
@@ -533,6 +537,8 @@ def em_train(
     best_snapshot = None  # (state, priors, kl_beta, em_iter, realized)
     chunk = max(int(checkpoint_every), 1)
     last_realized = None  # most recent realized-rate probe (em_stop gate)
+    prev_probe = None  # (realized, aim) at the previous probe
+    probe_stability = 0  # consecutive probes with rate AND aim unchanged
     early_stop = False
     while done < n_em_iters:
         # first EM iteration runs first_epochs (main_prior_training.py:106),
@@ -599,6 +605,21 @@ def em_train(
                     )
                 history[-1]["realized_bitrate"] = realized
                 history[-1]["budget_aim"] = aim
+                # em_stop stability tracking: the rate has SETTLED when
+                # consecutive probes realize the same (quantized) rate AND
+                # the aim has stopped moving — the controller's equilibrium,
+                # whether or not an achievable rate exists inside the
+                # deadband (e.g. cifar@2.0: nearest achievable 1.953)
+                cur = (realized, aim)
+                if (
+                    prev_probe is not None
+                    and abs(cur[0] - prev_probe[0]) <= 0.5 * quantum
+                    and cur[1] == prev_probe[1]
+                ):
+                    probe_stability += 1
+                else:
+                    probe_stability = 0
+                prev_probe = cur
                 if rate_select:
                     err = abs(realized - max_bitrate)
                     if err <= best_err + 1e-12:
@@ -620,11 +641,15 @@ def em_train(
                 prev_m = float(np.mean(mh[-2 * w_it:-w_it]))
                 cur_m = float(np.mean(mh[-w_it:]))
                 plateau = (prev_m - cur_m) <= rtol * abs(prev_m)
-                rate_ok = (not rate_control) or (
+                deadband_ok = (
                     last_realized is not None
                     and abs(last_realized - max_bitrate)
                     <= max(rate_tolerance * max_bitrate, 0.5 * quantum)
                 )
+                # settled-but-off-target: >=3 consecutive probes at the same
+                # achievable rate with the aim no longer moving (see the
+                # stability tracking at the probe site)
+                rate_ok = (not rate_control) or deadband_ok or probe_stability >= 2
                 if plateau and rate_ok:
                     early_stop = True
                     history[-1]["em_early_stop"] = global_done

@@ -48,13 +48,14 @@ N_OPT = 30000
 N_OPT_REFERENCE = 30000
 
 
-def load_shared(n_images: int, geometry: str = "cifar"):
+def load_shared(n_images: int, geometry: str = "cifar",
+                prior_path: str | None = None):
     import jax
 
     from recombiner_tpu.io.checkpoint import load_prior_artifact
     from recombiner_tpu.data.synthetic import synthetic_dataset
 
-    art = load_prior_artifact(PRIORS[geometry])
+    art = load_prior_artifact(prior_path or PRIORS[geometry])
     # the schedule study's test set is synthetic_dataset(cfg, 125, seed=43)
     # (rd_sweep --synthetic 500 => test seed 42+1); its first n_images rows
     # are generator-prefix-stable
@@ -348,6 +349,10 @@ def main() -> None:
                         "patches, VERDICT r3 next #5). n_images counts patch "
                         "ROWS for patch geometries.")
     p.add_argument("--n_images", type=int, default=8)
+    p.add_argument("--prior", default=None,
+                   help="override the geometry's published prior artifact "
+                        "path (EM-schedule studies: encode with an "
+                        "alternatively-trained prior at the same geometry)")
     p.add_argument("--out", required=True)
     p.add_argument("--n_opt", type=int, default=None,
                    help="override the 30000-epoch schedule (smoke tests only)")
@@ -434,7 +439,7 @@ def main() -> None:
     def stop_spec(v):
         return None if v is None else (int(v[0]), float(v[1]), int(v[2]))
 
-    art, X, Y = load_shared(args.n_images, args.geometry)
+    art, X, Y = load_shared(args.n_images, args.geometry, args.prior)
     rec = run_torch(
         art, X, Y, args.out, seed=args.enc_seed, n_opt=args.n_opt,
     ) if args.side == "torch" else run_ours(
@@ -459,6 +464,7 @@ def main() -> None:
         ft_epochs=args.ft_epochs,
     )
     rec["geometry"] = args.geometry
+    rec["prior"] = args.prior or PRIORS[args.geometry]
     rec["enc_seed"] = args.enc_seed
     if args.side == "ours":
         rec["codebook"] = args.codebook or "artifact-default"

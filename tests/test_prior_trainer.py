@@ -451,3 +451,30 @@ def test_em_stop_requires_rate_in_deadband(monkeypatch):
     assert stp is not None
     assert stp["last_realized"] == pytest.approx(target)
     assert len(res_near.elbo_history) < 12
+
+
+def test_em_stop_settled_off_target_rate(monkeypatch):
+    """The cifar@2.0 geometry: NO achievable rate inside the deadband (the
+    nearest quantized rate sits 2.4% low), so the deadband gate alone would
+    never fire. Once the aim hits its clamp and consecutive probes realize
+    the same rate (controller equilibrium), em_stop must treat the rate as
+    settled and stop."""
+    import recombiner_tpu.priors.trainer as trainer_mod
+
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=5)
+    target = 30.0
+
+    # constant realized rate FAR above target: err=2 drives aim to the 0.5
+    # clamp in two probes, after which (rate, aim) is frozen -> stability
+    monkeypatch.setattr(
+        trainer_mod, "realized_bitrate", lambda s, p, c: 2 * target)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y),
+        max_bitrate=target, n_em_iters=20, first_epochs=5,
+        later_epochs=5, lr=2e-3, checkpoint_every=1, probe_every=1,
+        rate_control=True, em_stop=(2, 10.0, 3),
+    )
+    stp = res.controller.get("em_stop")
+    assert stp is not None
+    assert len(res.elbo_history) < 20
