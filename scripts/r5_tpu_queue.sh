@@ -46,18 +46,6 @@ am ours_audio_mini_s8_n3000_diag --enc_seed 8 --precision default
 am ours_audio_mini_s9_n3000_diag --enc_seed 9 --precision default
 am ours_audio_mini_s7_n3000_full_f32 --enc_seed 7 --precision scoped --p1_precision highest
 
-# --- B. measured 500-row adaptive encode (headline record)
-if [ ! -s docs/adaptive500.json ]; then
-  echo "=== 500-row adaptive encode ($(date +%H:%M:%S)) ==="
-  mkdir -p docs/r5_state
-  python scripts/babysit.py --log /tmp/adaptive500.log --stall 1200 -- \
-    python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 \
-      --n_test 500 --bitrates 2.0 --load_prior_dir docs/schedule_priors \
-      --schedule adaptive --state_dir docs/r5_state \
-      --out docs/adaptive500.json > /tmp/adaptive500_outer.log 2>&1 \
-    || echo "adaptive500 rc=$?"
-fi
-
 # --- C. shipped S=3 preset seeds 9/10 (cifar, matched bpp)
 for s in 9 10; do
   out=$H/ours_s${s}_r4_p115k_lr6_S3.json
@@ -69,6 +57,18 @@ for s in 9 10; do
     --out "$out" > /tmp/cifar_S3_s${s}.log 2>&1 || echo "S3 s$s rc=$?"
   sleep 10
 done
+
+# --- B. measured 500-row adaptive encode (headline record)
+if [ ! -s docs/adaptive500.json ]; then
+  echo "=== 500-row adaptive encode ($(date +%H:%M:%S)) ==="
+  mkdir -p docs/r5_state
+  python scripts/babysit.py --log /tmp/adaptive500.log --stall 1200 -- \
+    python -m recombiner_tpu.cli.rd_sweep --dataset cifar --synthetic 500 \
+      --n_test 500 --bitrates 2.0 --load_prior_dir docs/schedule_priors \
+      --schedule adaptive --state_dir docs/r5_state \
+      --out docs/adaptive500.json > /tmp/adaptive500_outer.log 2>&1 \
+    || echo "adaptive500 rc=$?"
+fi
 
 # --- D. kodak_mini adaptive generalization (reference ceilings)
 for s in 7 8; do
