@@ -17,21 +17,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_prng_impl", "threefry2x32")
 
-# Persistent XLA compilation cache for the suite. Two effects on this 1-core
-# host: repeat runs skip most of the ~14 min of CPU jit compiles, and fewer
-# live compiles means fewer exposures to the XLA-CPU backend_compile
-# segfault observed twice under heavy contention (round-4 judge run and a
-# round-5 suite run, both inside backend_compile_and_load while a TPU job +
-# a torch job shared the core; isolated retries pass). Cache entries key on
-# HLO + compile options + jaxlib version, so staleness is not a concern.
-_cache_dir = os.environ.get(
-    "RECOMBINER_TPU_TEST_CACHE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
 
 def pytest_sessionstart(session):
     devs = jax.devices()
