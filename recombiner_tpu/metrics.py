@@ -39,6 +39,14 @@ def batch_rmsd(original: np.ndarray, compressed: np.ndarray, scale_factor: float
     return (sq.mean(-1) * 3) ** 0.5
 
 
+# Modalities whose PSNR is reported WITHOUT 8-bit rounding (utils.py:211):
+# their operating points reach 50-70 dB, where reconstruction differences
+# of ~1e-4 RMS — e.g. rendering at a different matmul precision than the
+# finetunes optimized through — are visible in the reported number instead
+# of being masked by the 1/255 quantizer (docs/HEAD_TO_HEAD.md round 5).
+UNROUNDED_PSNR = ("audio", "audio_mini", "tiny_audio")
+
+
 def metric(original: np.ndarray, compressed: np.ndarray, dataset: str):
     """Modality dispatch (utils.py:200-213). cifar/protein return per-row
     arrays; kodak/video/audio a scalar."""
@@ -46,7 +54,7 @@ def metric(original: np.ndarray, compressed: np.ndarray, dataset: str):
         return batch_psnr(original, compressed, round8=True)
     if dataset in ("kodak", "kodak_mini", "video", "tiny_video"):
         return psnr(original, compressed, round8=True)
-    if dataset in ("audio", "audio_mini", "tiny_audio"):
+    if dataset in UNROUNDED_PSNR:
         return psnr(original, compressed, round8=False)
     if dataset == "protein":
         return batch_rmsd(original, compressed, scale_factor=25.0)
