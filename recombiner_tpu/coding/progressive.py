@@ -31,7 +31,7 @@ from recombiner_tpu.coding.encoder import (
     optimize_adaptive,
     predict,
 )
-from recombiner_tpu.metrics import metric
+from recombiner_tpu.metrics import UNROUNDED_PSNR, metric
 from recombiner_tpu.parallel.launch import fetch_global
 from recombiner_tpu.utils.timing import sync
 
@@ -51,6 +51,31 @@ def distortion_of(
 ):
     y_pred = predict(codec, state, X, jax.random.key(0), cfg, sample_size=1)[:, 0]
     return metric(fetch_global(Y), fetch_global(y_pred), cfg.name)
+
+
+def resolve_coding_precision(
+    coding_precision: Optional[str], cfg: ModalityConfig
+) -> Optional[str]:
+    """Per-modality auto for the coding-phase finetune matmul precision.
+
+    The canonical decode renders in exact f32 unconditionally; the
+    finetunes must optimize THROUGH the same function, or the posteriors
+    co-adapt to the ambient bf16-pass forward and the f32 decode renders a
+    measurably different reconstruction. The mismatch is ~6e-8 absolute
+    mse — invisible under 8-bit-rounded PSNR (cifar/kodak/video) and at
+    <=55 dB operating points, but −1.2/−1.8 dB on the 66-71 dB audio_mini
+    head-to-head (docs/HEAD_TO_HEAD.md round 5). So: unrounded-PSNR
+    (audio-family) configs default to exact-f32 coding finetunes
+    ('highest', the `--precision scoped` operating point, +15-31% finetune
+    epoch cost); everything else keeps the RD-parity bf16 default. The
+    explicit sentinel 'default' (from `--precision default`) forces the
+    ambient path — the ablation escape hatch.
+    """
+    if coding_precision == "default":
+        return None
+    if coding_precision is None and cfg.name in UNROUNDED_PSNR:
+        return "highest"
+    return coding_precision
 
 
 def kl_bits_summary(codec: Codec, state: CodecState) -> Dict[str, float]:
@@ -129,6 +154,11 @@ def compress(
     at ~1.0x encode wall. 'highest'/'high' additionally raise the finetune
     einsums (+15-31% epoch cost, docs/PERF.md) as a belt-and-braces knob.
     Bitstream format is precision-independent either way.
+    None additionally applies a per-modality AUTO (resolve_coding_precision):
+    unrounded-PSNR audio-family configs run the finetunes at 'highest' so
+    the exact-f32 decode renders the function they optimized (the round-5
+    co-adaptation fix, −1.2/−1.8 dB at 66-71 dB operating points); the
+    sentinel 'default' forces the ambient bf16 path.
 
     ``phase1_stop`` / ``finetune_stop``: adaptive early-stop specs
     ``(window, rel_tol, min_epochs)`` for phase-1 optimization and the
@@ -164,6 +194,7 @@ def compress(
     loop. Snapshot/flow-control cadence moves to chunk boundaries."""
     timings = {}
     t0 = time.perf_counter()
+    coding_precision = resolve_coding_precision(coding_precision, cfg)
 
     if verbose:
         d0 = distortion_of(codec, state, X, Y, cfg)

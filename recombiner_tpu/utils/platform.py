@@ -66,15 +66,21 @@ def apply_precision_mode(precision: str | None) -> str | None:
     """Apply a --precision flag; returns the coding-phase precision to pass
     to ``compress(coding_precision=...)``.
 
-    - None / 'default': nothing raised — the shipped RD-parity default
-      (exact-f32 A* scoring + decode are unconditional, see PRECISION_CHOICES).
+    - None: nothing raised — compress() then applies its per-modality auto
+      (unrounded-PSNR/audio configs get 'highest' coding finetunes so the
+      exact-f32 canonical decode renders the function the finetunes
+      optimized — the round-5 co-adaptation fix, docs/HEAD_TO_HEAD.md).
+    - 'default': the explicit ambient-bf16 sentinel — compress() skips the
+      per-modality auto (ablation escape hatch).
     - 'scoped': no global change; coding finetunes at 'highest' (6-pass).
     - 'scoped_high': no global change; coding finetunes at 'high' (3-pass).
     - 'high' / 'highest': process-global default_matmul_precision (the
       round-2 knob); coding_precision=None inherits it.
     """
-    if precision in (None, "default"):
+    if precision is None:
         return None
+    if precision == "default":
+        return "default"
     if precision == "scoped":
         return "highest"
     if precision == "scoped_high":

@@ -485,3 +485,32 @@ def test_finetune_crn_deterministic_and_distinct(tiny_artifact):
     np.testing.assert_array_equal(
         np.asarray(c1.state.w.indices), np.asarray(c2.state.w.indices))
     np.testing.assert_array_equal(c1.reconstruction, c2.reconstruction)
+
+
+def test_resolve_coding_precision_auto():
+    """Round-5 co-adaptation fix: audio-family (unrounded-PSNR) configs
+    auto-raise the coding-finetune precision to exact f32 so the canonical
+    f32 decode renders the function the finetunes optimized; the explicit
+    'default' sentinel forces the ambient path; everything else is
+    untouched (docs/HEAD_TO_HEAD.md round 5)."""
+    from recombiner_tpu.config import TINY, TINY_AUDIO
+    from recombiner_tpu.coding.progressive import resolve_coding_precision
+
+    assert resolve_coding_precision(None, TINY_AUDIO) == "highest"
+    assert resolve_coding_precision(None, TINY) is None
+    assert resolve_coding_precision("default", TINY_AUDIO) is None
+    assert resolve_coding_precision("default", TINY) is None
+    assert resolve_coding_precision("high", TINY_AUDIO) == "high"
+    assert resolve_coding_precision("highest", TINY) == "highest"
+
+
+def test_apply_precision_mode_sentinel():
+    """--precision default must reach compress() as the explicit sentinel,
+    not be collapsed into None (which would re-enable the per-modality
+    auto it exists to bypass)."""
+    from recombiner_tpu.utils.platform import apply_precision_mode
+
+    assert apply_precision_mode(None) is None
+    assert apply_precision_mode("default") == "default"
+    assert apply_precision_mode("scoped") == "highest"
+    assert apply_precision_mode("scoped_high") == "high"
