@@ -31,13 +31,25 @@ def main() -> int:
     p.add_argument("--stall", type=float, default=360.0, help="seconds without log writes before declaring a wedge")
     p.add_argument("--cooldown", type=float, default=640.0, help="wait after killing a wedged child (device-grant recovery)")
     p.add_argument("--max_restarts", type=int, default=8)
+    p.add_argument("--recycle", type=float, default=0.0,
+                   help="proactively restart a HEALTHY child after this many "
+                        "seconds. The tunnel wedges long-lived clients ~45-50 "
+                        "min into their lifetime (observed 3x on 2026-08-21, "
+                        "plus the round-2/3 history); recycling just before "
+                        "that horizon trades the 25-min stall detection for "
+                        "a planned kill+cooldown+resume (~18 min), raising "
+                        "the duty cycle of multi-hour runs. 0 = off. "
+                        "Recycles do not count against --max_restarts.")
     p.add_argument("cmd", nargs=argparse.REMAINDER, help="-- command ...")
     args = p.parse_args()
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
     if not cmd:
         p.error("no command given (use -- cmd ...)")
 
-    for attempt in range(args.max_restarts + 1):
+    attempt = -1
+    restarts = 0
+    while restarts <= args.max_restarts:
+        attempt += 1
         with open(args.log, "ab", buffering=0) as logf:
             logf.write(f"\n=== babysit attempt {attempt} ===\n".encode())
             # new session: the stall kill must take out the WHOLE process
@@ -56,6 +68,8 @@ def main() -> int:
                 pass
 
         wedged = False
+        recycled = False
+        t_start = time.time()
         while True:
             rc = child.poll()
             if rc is not None:
@@ -71,6 +85,20 @@ def main() -> int:
                     child.wait()
                 wedged = True
                 break
+            if args.recycle and time.time() - t_start > args.recycle and age < 60:
+                # healthy (log fresh) but nearing the tunnel's wedge horizon:
+                # planned restart, resumes from its own snapshots
+                print(f"[babysit] recycling healthy child {child.pid} after "
+                      f"{time.time() - t_start:.0f}s", flush=True)
+                kill_tree(signal.SIGTERM)
+                try:
+                    child.wait(timeout=15)
+                except subprocess.TimeoutExpired:
+                    kill_tree(signal.SIGKILL)
+                    child.wait()
+                wedged = True
+                recycled = True
+                break
             time.sleep(15)
         if not wedged:
             if child.returncode == 0:
@@ -84,9 +112,12 @@ def main() -> int:
                 f"[babysit] child exited rc={child.returncode}; "
                 f"cooling down {args.cooldown:.0f}s before relaunch", flush=True)
             time.sleep(args.cooldown)
+            restarts += 1
         else:
             print(f"[babysit] cooling down {args.cooldown:.0f}s (device grant)", flush=True)
             time.sleep(args.cooldown)
+            if not recycled:
+                restarts += 1
     print("[babysit] giving up", flush=True)
     return 1
 
