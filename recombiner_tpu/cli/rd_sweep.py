@@ -67,13 +67,20 @@ def parse_args(argv=None):
     p.add_argument("--finetune_epochs", type=int, default=None)
     p.add_argument("--sample_size", type=int, default=5)
     p.add_argument("--schedule", default="reference",
-                   choices=("reference", "adaptive"),
+                   choices=("reference", "adaptive", "quality"),
                    help="encode-schedule preset, same semantics as "
-                        "cli/compress: 'adaptive' = 15k cosine-lr S=3 "
-                        "phase 1 + plateau-stopped finetunes + fused coding "
-                        "chunks (docs/SCHEDULE.md — matched RD at ~0.53x the "
-                        "reference epochs on cifar); the explicit knobs "
-                        "below override preset fields")
+                        "cli/compress: 'adaptive' = the throughput point "
+                        "(15k cosine-lr S=3 phase 1 + plateau-stopped "
+                        "finetunes + fused coding chunks, ~0.5x the "
+                        "reference epochs); 'quality' = S=5 phase 1 + "
+                        "cosine finetune lr (4-seed mean above the torch "
+                        "band at 1.4x fewer epochs — docs/SCHEDULE.md); "
+                        "the explicit knobs below override preset fields")
+    p.add_argument("--ft_lr", type=float, default=None,
+                   help="coding-finetune peak lr (fused path; reference: "
+                        "constant 2e-4)")
+    p.add_argument("--ft_lr_schedule", default=None, choices=(None, "cosine"),
+                   help="coding-finetune lr schedule (fused path)")
     p.add_argument("--p1_stop", type=float, nargs=3, default=None,
                    metavar=("WINDOW", "REL_TOL", "MIN_EPOCHS"),
                    help="adaptive phase-1 stop spec (see --schedule)")
@@ -154,7 +161,8 @@ def parse_args(argv=None):
 def resolve_schedule_args(args):
     """Resolve the encode-schedule knobs through cli/compress's preset
     logic — ONE preset definition shared by every CLI. Returns
-    (n_epochs, p1_lr, p1_samples, p1_stop, ft_stop, fused_steps)."""
+    (n_epochs, p1_lr, p1_samples, p1_stop, ft_stop, fused_steps, ft_lr,
+    ft_lr_schedule)."""
     from types import SimpleNamespace
 
     from recombiner_tpu.cli.compress import resolve_schedule
@@ -164,6 +172,7 @@ def resolve_schedule_args(args):
         p1_lr=args.p1_lr, p1_samples=args.p1_samples,
         p1_stop=args.p1_stop, ft_stop=args.ft_stop,
         fused_steps=args.fused_steps,
+        ft_lr=args.ft_lr, ft_lr_schedule=args.ft_lr_schedule,
     ))
 
 
@@ -366,7 +375,7 @@ def main(argv=None):
         if resume.get("phase1_opt_leaves") is not None:
             resume["phase1_opt_leaves"] = shard_rows(resume["phase1_opt_leaves"], mesh)
         (n_encode_epochs, p1_lr, p1_samples, p1_stop, ft_stop,
-         fused_steps) = resolve_schedule_args(args)
+         fused_steps, ft_lr, ft_lr_schedule) = resolve_schedule_args(args)
         enc = compress(
             codec, state, Xte_s, Yte_s, cfg,
             jax.random.key(args.seed + 1),
@@ -378,6 +387,8 @@ def main(argv=None):
             phase1_lr=tuple(p1_lr) if p1_lr else None,
             phase1_sample_size=p1_samples,
             fused_steps=fused_steps,
+            finetune_lr=ft_lr,
+            finetune_lr_schedule=ft_lr_schedule,
             finetune_overrides=(
                 None if args.finetune_epochs is None
                 else {k: args.finetune_epochs for k in ("w", "h", "hh")}

@@ -196,14 +196,14 @@ def test_adaptive_schedule_preset_resolution():
 
     # reference schedule: fixed 30k phase 1, no stops, no fusion
     ref = compress.resolve_schedule(compress.parse_args(base))
-    assert ref == (30000, None, None, None, None, None)
+    assert ref == (30000, None, None, None, None, None, None, None)
 
     # adaptive preset: every knob filled from ADAPTIVE_PRESET
     ad = compress.resolve_schedule(
         compress.parse_args(base + ["--schedule", "adaptive"]))
     P = compress.ADAPTIVE_PRESET
     assert ad == (P["n_epochs"], P["p1_lr"], P["p1_samples"], P["p1_stop"],
-                  P["ft_stop"], P["fused_steps"])
+                  P["ft_stop"], P["fused_steps"], None, None)
     # the measured round-4 operating point (docs/SCHEDULE.md) — a change
     # here is a deliberate re-tune, not drift
     assert ad[0] == 15000 and ad[2] == 3 and ad[5] == 8
@@ -224,13 +224,13 @@ def test_rd_sweep_schedule_preset_matches_compress():
 
     base = ["--dataset", "cifar", "--bitrates", "2"]
     ref = rd_sweep.resolve_schedule_args(rd_sweep.parse_args(base))
-    assert ref == (30000, None, None, None, None, None)
+    assert ref == (30000, None, None, None, None, None, None, None)
 
     ad = rd_sweep.resolve_schedule_args(
         rd_sweep.parse_args(base + ["--schedule", "adaptive"]))
     P = compress.ADAPTIVE_PRESET
     assert ad == (P["n_epochs"], P["p1_lr"], P["p1_samples"],
-                  P["p1_stop"], P["ft_stop"], P["fused_steps"])
+                  P["p1_stop"], P["ft_stop"], P["fused_steps"], None, None)
 
     # explicit knobs beat the preset, others still fill from it
     ov = rd_sweep.resolve_schedule_args(rd_sweep.parse_args(
@@ -280,3 +280,27 @@ def test_rd_sweep_em_schedule_adaptive(tmp_path):
         ]
     )
     assert len(points) == 1 and points[0]["actual_bitrate"] > 0
+
+
+def test_quality_schedule_preset_resolution():
+    """--schedule quality = the RD-parity preset (round 5): the adaptive
+    knobs with S=5 phase 1 (p1_samples None -> --sample_size) plus cosine
+    finetune lr 4e-4; measured 4-seed mean 42.40 @ 1.953 bpp
+    (docs/SCHEDULE.md)."""
+    from recombiner_tpu.cli import compress, rd_sweep
+
+    base = ["--test_dir", "d", "--test_idx", "0", "--prior_path", "p.npz",
+            "--save_dir", "s"]
+    q = compress.resolve_schedule(
+        compress.parse_args(base + ["--schedule", "quality"]))
+    P = compress.QUALITY_PRESET
+    assert q == (P["n_epochs"], P["p1_lr"], None, P["p1_stop"],
+                 P["ft_stop"], P["fused_steps"], 4e-4, "cosine")
+    # explicit ft_lr beats the preset
+    ov = compress.resolve_schedule(compress.parse_args(
+        base + ["--schedule", "quality", "--ft_lr", "1e-4"]))
+    assert ov[6] == 1e-4 and ov[7] == "cosine"
+    # rd_sweep resolves the same preset through the same function
+    q2 = rd_sweep.resolve_schedule_args(rd_sweep.parse_args(
+        ["--dataset", "cifar", "--bitrates", "2", "--schedule", "quality"]))
+    assert q2 == q
