@@ -133,13 +133,17 @@ ADAPTIVE_FUSED_K = 8  # group steps + finetunes per compiled program
 # the 8-image-fraction synthesis, labeled in details.headline_provenance.
 MEASURED_500_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "docs", "adaptive500.json")
+# the --schedule quality (RD-parity) preset measured at the same shape;
+# reported in details only (the headline is the throughput preset)
+MEASURED_Q500_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "quality500.json")
 
 
-def load_measured_500():
+def load_measured_500(path=None):
     """Measured 500-row adaptive encode record (docs/adaptive500.json =
     the first RD point of the rd_sweep output) or None."""
     try:
-        with open(MEASURED_500_PATH) as f:
+        with open(path or MEASURED_500_PATH) as f:
             rec = json.load(f)
         point = rec["points"][0] if "points" in rec else rec
         t = point["timings"]
@@ -353,6 +357,17 @@ def main() -> None:
                 "adaptive_encode_wall_s" if m500 is not None else
                 "derived from measured per-epoch rates x 8-image finetune-"
                 "spend fraction (no 500-row record on disk)"),
+            "quality_preset_measured": (
+                (lambda q: None if q is None else {
+                    "dp_per_sec": round(q["n_rows"] / q["wall_s"], 4),
+                    "wall_s": round(q["wall_s"], 1),
+                    "psnr": round(q["psnr"], 3),
+                    "bpp": round(q["bpp"], 4),
+                    "note": ("--schedule quality (S=5 phase 1 + cosine "
+                             "finetune lr): the RD-parity preset — cifar "
+                             "4-seed h2h mean 42.348 = the top of torch's "
+                             "own band (docs/SCHEDULE.md)"),
+                })(load_measured_500(MEASURED_Q500_PATH))),
             "reference_schedule_dp_per_sec": round(ref_sched_dp_s, 4),
             "epoch_s": round(epoch_s, 5),
             "epoch_s3_s": round(epoch_s3, 5),
