@@ -621,7 +621,18 @@ def em_train(
                     probe_stability = 0
                 prev_probe = cur
                 if rate_select:
+                    # deadband-quantized error: candidates INSIDE the
+                    # controller deadband are rate-equivalent (the aim holds
+                    # there — aim_update), so they TIE and the latest (most
+                    # converged) wins. Without this, a probe at 2.000
+                    # strictly beats a final state at 2.005 and selection
+                    # discards hundreds of iterations of convergence for
+                    # rate noise (measured: cifar 200-iter prior lost
+                    # ~0.6 dB to an EM-170 selection; the audio_mini EM
+                    # study picked EM 300 over a ~1 dB-better final state).
                     err = abs(realized - max_bitrate)
+                    if err <= max(rate_tolerance * max_bitrate, 0.5 * quantum):
+                        err = 0.0
                     if err <= best_err + 1e-12:
                         from recombiner_tpu.parallel.launch import fetch_global
 
@@ -672,10 +683,13 @@ def em_train(
     if rate_control and rate_select and best_snapshot is not None:
         # the final state sits PAST the last probe — probe it too, and return
         # whichever state realizes the rate nearest the target (final wins
-        # ties: it is the most converged)
+        # ties: it is the most converged; within-deadband = tie, see above)
         final_realized = realized_bitrate(state, priors, cfg)
         history[-1]["final_realized_bitrate"] = final_realized
-        if best_err + 1e-12 < abs(final_realized - max_bitrate):
+        final_err = abs(final_realized - max_bitrate)
+        if final_err <= max(rate_tolerance * max_bitrate, 0.5 * quantum):
+            final_err = 0.0
+        if best_err + 1e-12 < final_err:
             s_state, s_priors, s_beta, s_iter, s_realized = best_snapshot
             controller["selected"] = {
                 "em_iter": int(s_iter),

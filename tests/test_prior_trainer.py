@@ -313,9 +313,14 @@ def test_rate_select_returns_nearest_probed_state(monkeypatch):
     cfg = TINY
     X, Y = synthetic_dataset(cfg, 2, seed=5)
     target = 30.0
-    # quantized plant: the 2nd engaged probe hits the target exactly, later
-    # probes and the final state sit one quantum above
-    rates = [30.32, 30.0, 30.32, 30.32, 30.32, 30.32, 30.32]
+    # quantized plant: the 2nd engaged probe hits the target exactly; later
+    # probes and the final state sit CLEARLY outside the controller deadband
+    # (within-deadband differences tie and the final state would win — see
+    # test_rate_select_deadband_tie_keeps_final)
+    from recombiner_tpu.priors.trainer import rate_quantum
+    db = max(0.015 * target, 0.5 * rate_quantum(cfg))
+    far = target + 4 * db
+    rates = [far, 30.0, far, far, far, far, far]
     captured = []
 
     def fake_realized(state, priors, cfg_):
@@ -331,14 +336,14 @@ def test_rate_select_returns_nearest_probed_state(monkeypatch):
     sel = res.controller.get("selected")
     assert sel is not None, "selection must fire when the final probe is worse"
     assert sel["realized"] == pytest.approx(30.0)
-    assert sel["final_realized"] == pytest.approx(30.32)
+    assert sel["final_realized"] == pytest.approx(far)
     # the returned state IS the snapshot taken at the winning probe
     best_call = rates.index(30.0)
     np.testing.assert_allclose(
         np.asarray(res.state.w.loc), captured[best_call], rtol=0, atol=0)
     # the final-state probe is recorded on the last history record (no extra
     # record: consumers read elbo_history[-1]["mse"])
-    assert res.elbo_history[-1]["final_realized_bitrate"] == pytest.approx(30.32)
+    assert res.elbo_history[-1]["final_realized_bitrate"] == pytest.approx(far)
     assert len(res.elbo_history) == 6
 
 
@@ -478,3 +483,36 @@ def test_em_stop_settled_off_target_rate(monkeypatch):
     stp = res.controller.get("em_stop")
     assert stp is not None
     assert len(res.elbo_history) < 20
+
+
+def test_rate_select_deadband_tie_keeps_final(monkeypatch):
+    """Within-deadband rate differences are NOISE (the aim holds there), so
+    a mid-run probe at the exact target must NOT beat a more-converged
+    final state that also sits inside the deadband. Round-5 measured the
+    cost of the old strict-nearest rule: the audio_mini EM study selected
+    EM 300 (realized 2.000) over a ~1 dB-better final state (2.005,
+    deadband 0.03)."""
+    import recombiner_tpu.priors.trainer as trainer_mod
+    from recombiner_tpu.priors.trainer import rate_quantum
+
+    cfg = TINY
+    X, Y = synthetic_dataset(cfg, 2, seed=5)
+    target = 30.0
+    db = max(0.015 * target, 0.5 * rate_quantum(cfg))
+    inside = target + 0.5 * db  # within the deadband, not exact
+    calls = []
+
+    def fake_realized(state, priors, cfg_):
+        calls.append(np.asarray(state.w.loc).copy())
+        # earlier probes hit the target EXACTLY; the final state is merely
+        # inside the deadband
+        return target if len(calls) < 5 else inside
+
+    monkeypatch.setattr(trainer_mod, "realized_bitrate", fake_realized)
+    res = em_train(
+        jax.random.key(0), cfg, jnp.array(X), jnp.array(Y),
+        max_bitrate=target, n_em_iters=6, first_epochs=10, later_epochs=5,
+        lr=2e-3, checkpoint_every=1, probe_every=1, rate_control=True,
+    )
+    assert "selected" not in res.controller
+    np.testing.assert_allclose(np.asarray(res.state.w.loc), calls[-1])
