@@ -367,17 +367,21 @@ def test_apply_matmul_precision_plumbing():
 
 
 def test_apply_precision_mode_mapping():
-    """The SHIPPED DEFAULT (None/'default') must raise nothing: the RD-parity
-    surfaces — A* scoring (encode_step_level) and decode rendering — are
-    exact f32 unconditionally, and the round-3 ladder measured finetune
-    precision RD-neutral once they are (docs/HEAD_TO_HEAD.md round 3). The
-    opt-in modes scope or globalize extra matmul passes."""
+    """None must raise nothing globally: the RD-parity surfaces — A* scoring
+    (encode_step_level) and decode rendering — are exact f32 unconditionally,
+    and the round-3 ladder measured finetune precision RD-neutral once they
+    are (docs/HEAD_TO_HEAD.md round 3). Round 5: None and 'default' DIFFER —
+    None lets compress() apply the per-modality auto (audio-family finetunes
+    at exact f32, the decode co-adaptation fix), while 'default' is the
+    explicit ambient-bf16 sentinel that suppresses the auto (the ablation
+    escape hatch, progressive.resolve_coding_precision). Neither touches the
+    global config; the opt-in modes scope or globalize extra matmul passes."""
     from recombiner_tpu.utils.platform import apply_precision_mode
 
     prev = jax.config.jax_default_matmul_precision
     try:
         assert apply_precision_mode(None) is None
-        assert apply_precision_mode("default") is None
+        assert apply_precision_mode("default") == "default"
         assert jax.config.jax_default_matmul_precision == prev  # no global change
         assert apply_precision_mode("scoped") == "highest"
         assert apply_precision_mode("scoped_high") == "high"
